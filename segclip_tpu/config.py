@@ -1,0 +1,184 @@
+"""Single dataclass config tree for the whole framework.
+
+Replaces the reference's three-layer config system (argparse flags in
+main_task_align.py:25-113, OmegaConf in seg_segmentation/config.py, and mmcv
+dataset Configs) with one typed tree + CLI dotlist overrides.
+
+The model self-configuration-from-checkpoint-shapes behavior of the reference
+(modeling.py:89-109) lives in checkpoint/torch_convert.py:infer_model_config.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Optional, Tuple
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Architecture hyperparameters (defaults = CLIP ViT-B/16 SegCLIP)."""
+    # Vision tower
+    image_resolution: int = 224
+    vision_patch_size: int = 16
+    vision_width: int = 768
+    vision_layers: int = 12
+    # Two-stage split: `first_stage_layer` blocks over patch tokens, the rest
+    # over group tokens (reference modeling.py:52-54,122).
+    first_stage_layer: int = 10
+    # Semantic grouping bottleneck (reference module_seg_vit.py:348-391)
+    group_num: int = 8
+    cross_layer: int = 2
+    # Text tower
+    context_length: int = 77
+    vocab_size: int = 49408
+    transformer_width: int = 512
+    transformer_layers: int = 12
+    # Shared embedding space
+    embed_dim: int = 512
+    # MAE decoders (reference modeling.py:142-165)
+    use_vision_mae_recon: bool = True
+    use_text_mae_recon: bool = False
+    mae_vis_mask_ratio: float = 0.75
+    mae_seq_mask_ratio: float = 0.15
+    mae_decoder_depth: int = 3
+    mae_decoder_num_heads: int = 8
+    # Superpixel pseudo-label loss (reference modeling.py:212-224)
+    use_seglabel: bool = True
+    # Text sequence length used during training (reference max_words)
+    max_words: int = 32
+    # Gumbel temperature for the hard grouping assignment
+    gumbel_tau: float = 0.9
+    # Numerics
+    compute_dtype: str = "bfloat16"   # matmul/activation dtype under jit
+    param_dtype: str = "float32"      # parameter storage dtype
+    # Kernel selection: "xla" uses jnp einsum/softmax; "pallas" uses the fused
+    # TPU kernels in ops/pallas.
+    attention_impl: str = "xla"
+
+    @property
+    def vision_heads(self) -> int:
+        return self.vision_width // 64
+
+    @property
+    def transformer_heads(self) -> int:
+        return self.transformer_width // 64
+
+    @property
+    def grid_size(self) -> int:
+        return self.image_resolution // self.vision_patch_size
+
+    @property
+    def patch_len(self) -> int:
+        return self.grid_size
+
+    @property
+    def num_patches(self) -> int:
+        return self.grid_size * self.grid_size
+
+
+@dataclass(frozen=True)
+class OptimConfig:
+    """AdaptAdamW + schedule + param-group settings.
+
+    Mirrors reference main_task_align.py:175-249 (8 param groups) and
+    modules/optimization_adamw.py (fused warmup_cosine schedule, pre-step
+    decoupled weight decay).
+    """
+    lr: float = 4e-3            # new modules (semantic/MAE/recon, new layers)
+    lower_lr: float = 4e-6      # pretrained CLIP weights
+    warmup_proportion: float = 0.1
+    schedule: str = "warmup_cosine"
+    lr_start: float = 0.0       # fraction of peak at step 0
+    lr_end: float = 0.0         # fraction of peak at end
+    b1: float = 0.9
+    b2: float = 0.999
+    eps: float = 1e-6
+    weight_decay: float = 0.2
+    max_grad_norm: float = 1.0
+    # Freeze controls (reference main_task_align.py:386-441)
+    freeze_layer_num: int = 0
+    freeze_text_layer_num: int = 0
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    datatype: str = "coco"          # comma-joined: "cc,coco,"
+    batch_size: int = 768           # GLOBAL batch
+    num_workers: int = 8
+    max_words: int = 32
+    data_dir: str = ""
+    seg_dir: str = ""               # superpixel record files
+    crop_scale: Tuple[float, float] = (0.5, 1.0)
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    epochs: int = 10
+    seed: int = 42
+    grad_accum_steps: int = 1
+    log_every: int = 50
+    output_dir: str = "output"
+    resume: Optional[str] = None
+    init_checkpoint: Optional[str] = None
+    # mesh axis sizes; -1 on `data` means "all devices"
+    data_parallelism: int = -1
+    eval_each_epoch: bool = True
+
+
+@dataclass(frozen=True)
+class EvalConfig:
+    dataset: str = "voc"
+    template_set: str = "simple"
+    bg_thresh: float = 0.80         # VOC default; Context .25, COCO .65
+    slide_crop: int = 224
+    slide_stride: int = 224
+    mode: str = "slide"             # or "whole"
+
+
+@dataclass(frozen=True)
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    eval: EvalConfig = field(default_factory=EvalConfig)
+
+
+def apply_overrides(cfg: Any, dotlist: list[str]) -> Any:
+    """Apply `a.b.c=value` overrides to a (nested, frozen) dataclass tree."""
+    for item in dotlist:
+        key, _, raw = item.partition("=")
+        if not _:
+            raise ValueError(f"override {item!r} must be key=value")
+        path = key.split(".")
+        cfg = _set_path(cfg, path, raw)
+    return cfg
+
+
+def _coerce(raw: str, typ: Any) -> Any:
+    if typ is bool or str(typ) == "bool":
+        return raw.lower() in ("1", "true", "yes", "on")
+    try:
+        if typ is int:
+            return int(raw)
+        if typ is float:
+            return float(raw)
+    except ValueError:
+        pass
+    if raw.lower() == "none":
+        return None
+    return raw
+
+
+def _set_path(node: Any, path: list[str], raw: str) -> Any:
+    name = path[0]
+    if not dataclasses.is_dataclass(node):
+        raise TypeError(f"cannot descend into non-dataclass at {name}")
+    fields = {f.name: f for f in dataclasses.fields(node)}
+    if name not in fields:
+        raise KeyError(f"unknown config field {name!r} on {type(node).__name__}")
+    if len(path) == 1:
+        value = _coerce(raw, fields[name].type)
+        return dataclasses.replace(node, **{name: value})
+    child = _set_path(getattr(node, name), path[1:], raw)
+    return dataclasses.replace(node, **{name: child})

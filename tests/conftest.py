@@ -1,0 +1,17 @@
+"""Test configuration: run everything on a simulated 8-device CPU mesh.
+
+Must set the env vars before the first jax import anywhere in the test
+process (SURVEY.md §4: multi-device tests use JAX's portable simulated
+meshes).
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
