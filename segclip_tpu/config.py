@@ -86,14 +86,15 @@ class OptimConfig:
     """
     lr: float = 4e-3            # new modules (semantic/MAE/recon, new layers)
     lower_lr: float = 4e-6      # pretrained CLIP weights
-    warmup_proportion: float = 0.1
+    lower_text_lr: float = 0.0  # 0 → falls back to lower_lr
+    warmup_proportion: float = 0.15
     schedule: str = "warmup_cosine"
     lr_start: float = 0.0       # fraction of peak at step 0
     lr_end: float = 0.0         # fraction of peak at end
     b1: float = 0.9
-    b2: float = 0.999
+    b2: float = 0.98
     eps: float = 1e-6
-    weight_decay: float = 0.2
+    weight_decay: float = 0.05
     max_grad_norm: float = 1.0
     # Freeze controls (reference main_task_align.py:386-441)
     freeze_layer_num: int = 0

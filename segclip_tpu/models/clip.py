@@ -1,0 +1,250 @@
+"""CLIP dual towers with the SegViT visual backbone.
+
+Reference: modules/module_clip.py, module_clip_vtransformer.py,
+module_clip_ttransformer.py. TPU-native choices:
+  - patchify is a reshape + one (P²·3, width) matmul instead of a conv —
+    identical math, lands straight on the MXU;
+  - the learned visual positional embedding is bicubic-interpolated at trace
+    time for non-default grids (eval only, matching
+    module_clip_vtransformer.py:35-53);
+  - text pooling gathers the EOT position (argmax of token ids) with
+    take_along_axis — static shapes throughout.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from segclip_tpu.ops.attention import causal_mask
+from segclip_tpu.ops.masking import random_masking
+from segclip_tpu.ops.pos_embed import interpolate_pos_embed
+from segclip_tpu.models.layers import LayerNormFP32, ResidualAttentionBlock
+from segclip_tpu.models.seg_vit import SegViT
+
+
+class VisionOutput(NamedTuple):
+    pooled: jax.Array            # (B, E) projected CLS/aggregate feature
+    hidden: jax.Array            # (B, 1+T, E) projected token features
+    hidden_pre_proj: jax.Array   # (B, 1+T, W) ln_post'd tower features
+    mid: dict                    # SegViT mid-state (hidden/hard/soft attn)
+    mae_mask: Optional[jax.Array] = None          # (B, 1+L) 1=removed
+    ids_restore: Optional[jax.Array] = None       # (B, 1+L)
+
+
+class TextOutput(NamedTuple):
+    pooled: jax.Array            # (B, E) EOT-pooled projected feature
+    hidden: jax.Array            # (B, L_kept, E)
+    mae_mask: Optional[jax.Array] = None
+    ids_restore: Optional[jax.Array] = None
+
+
+class VisualTower(nn.Module):
+    """Patchify → CLS+pos → ln_pre → SegViT → ln_post → proj."""
+    width: int
+    patch_size: int
+    input_resolution: int
+    layers: int
+    output_dim: int
+    first_stage_layer: int = 10
+    group_num: int = 8
+    cross_layer: int = 2
+    tau: float = 0.9
+    compute_dtype: jnp.dtype = jnp.bfloat16
+    attention_impl: str = "xla"
+
+    def setup(self):
+        scale = self.width ** -0.5
+        patch_dim = 3 * self.patch_size * self.patch_size
+        grid = self.input_resolution // self.patch_size
+        self.conv1 = self.param(
+            "conv1",
+            nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
+            (patch_dim, self.width), jnp.float32)
+        self.class_embedding = self.param(
+            "class_embedding", nn.initializers.normal(scale),
+            (self.width,), jnp.float32)
+        self.positional_embedding = self.param(
+            "positional_embedding", nn.initializers.normal(scale),
+            (grid * grid + 1, self.width), jnp.float32)
+        self.ln_pre = LayerNormFP32()
+        self.transformer = SegViT(
+            self.width, layers=self.layers,
+            first_stage_layer=self.first_stage_layer,
+            group_num=self.group_num, cross_layer=self.cross_layer,
+            tau=self.tau, compute_dtype=self.compute_dtype,
+            attention_impl=self.attention_impl)
+        self.ln_post = LayerNormFP32()
+        self.proj = self.param("proj", nn.initializers.normal(scale),
+                               (self.width, self.output_dim), jnp.float32)
+
+    def _patchify(self, image: jax.Array) -> jax.Array:
+        """(B, H, W, 3) → (B, gh·gw, 3·P·P) with (c, ph, pw) channel order —
+        the flatten order of a torch conv kernel, so converted weights drop
+        straight in."""
+        b, h, w, c = image.shape
+        p = self.patch_size
+        gh, gw = h // p, w // p
+        x = image.reshape(b, gh, p, gw, p, c)
+        x = x.transpose(0, 1, 3, 5, 2, 4)          # b gh gw c ph pw
+        return x.reshape(b, gh * gw, c * p * p)
+
+    def __call__(self, image: jax.Array, mask_ratio: float = 0.0,
+                 training: bool = False,
+                 mask_key: Optional[jax.Array] = None,
+                 gumbel_key: Optional[jax.Array] = None):
+        """image: (B, H, W, 3) normalized. Returns
+        (tokens(B,1+T,W), mid, mae_mask, ids_restore)."""
+        b, h, w, _ = image.shape
+        gh, gw = h // self.patch_size, w // self.patch_size
+
+        x = self._patchify(image).astype(self.compute_dtype)
+        x = x @ self.conv1.astype(self.compute_dtype)
+
+        cls = jnp.broadcast_to(
+            self.class_embedding.astype(self.compute_dtype)[None, None],
+            (b, 1, self.width))
+        x = jnp.concatenate([cls, x], axis=1)
+
+        pos = self.positional_embedding
+        if not training:
+            pos = interpolate_pos_embed(pos, gh, gw)
+        x = x + pos.astype(self.compute_dtype)
+        x = self.ln_pre(x)
+
+        mae_mask, ids_restore = None, None
+        if mask_ratio > 0.0:
+            x, mae_mask, ids_restore, _ = random_masking(
+                x, mask_ratio, key=mask_key, keep_cls=True)
+
+        x, mid = self.transformer(x, mae_path=mask_ratio > 0.0,
+                                  training=training, gumbel_key=gumbel_key)
+        return x, mid, mae_mask, ids_restore
+
+
+class TextTransformer(nn.Module):
+    width: int
+    layers: int
+    compute_dtype: jnp.dtype = jnp.bfloat16
+    attention_impl: str = "xla"
+
+    def setup(self):
+        heads = self.width // 64
+        self.resblocks = [
+            ResidualAttentionBlock(self.width, heads,
+                                   compute_dtype=self.compute_dtype,
+                                   attention_impl=self.attention_impl,
+                                   name=f"resblocks_{i}")
+            for i in range(self.layers)
+        ]
+
+    def __call__(self, x: jax.Array, bias: Optional[jax.Array] = None):
+        for blk in self.resblocks:
+            x = blk(x, bias=bias)
+        return x
+
+
+class CLIPModule(nn.Module):
+    """Dual-encoder CLIP with the grouping visual tower.
+
+    encode_image / encode_text mirror the reference contracts
+    (module_clip.py:89-143), returning typed structs instead of
+    variable-arity tuples.
+    """
+    embed_dim: int
+    image_resolution: int
+    vision_layers: int
+    vision_width: int
+    vision_patch_size: int
+    context_length: int
+    vocab_size: int
+    transformer_width: int
+    transformer_layers: int
+    first_stage_layer: int = 10
+    group_num: int = 8
+    cross_layer: int = 2
+    tau: float = 0.9
+    compute_dtype: jnp.dtype = jnp.bfloat16
+    attention_impl: str = "xla"
+
+    def setup(self):
+        self.visual = VisualTower(
+            width=self.vision_width, patch_size=self.vision_patch_size,
+            input_resolution=self.image_resolution, layers=self.vision_layers,
+            output_dim=self.embed_dim, first_stage_layer=self.first_stage_layer,
+            group_num=self.group_num, cross_layer=self.cross_layer,
+            tau=self.tau, compute_dtype=self.compute_dtype,
+            attention_impl=self.attention_impl)
+        self.transformer = TextTransformer(
+            self.transformer_width, self.transformer_layers,
+            compute_dtype=self.compute_dtype,
+            attention_impl=self.attention_impl)
+        self.token_embedding = nn.Embed(
+            self.vocab_size, self.transformer_width,
+            embedding_init=nn.initializers.normal(0.02),
+            param_dtype=jnp.float32)
+        self.positional_embedding = self.param(
+            "positional_embedding", nn.initializers.normal(0.01),
+            (self.context_length, self.transformer_width), jnp.float32)
+        self.ln_final = LayerNormFP32()
+        self.text_projection = self.param(
+            "text_projection",
+            nn.initializers.normal(self.transformer_width ** -0.5),
+            (self.transformer_width, self.embed_dim), jnp.float32)
+        self.logit_scale = self.param(
+            "logit_scale",
+            lambda key, shape: jnp.full(shape, np.log(1 / 0.07), jnp.float32),
+            ())
+
+    def encode_image(self, image: jax.Array, mask_ratio: float = 0.0,
+                     training: bool = False,
+                     mask_key: Optional[jax.Array] = None,
+                     gumbel_key: Optional[jax.Array] = None) -> VisionOutput:
+        tokens, mid, mae_mask, ids_restore = self.visual(
+            image, mask_ratio=mask_ratio, training=training,
+            mask_key=mask_key, gumbel_key=gumbel_key)
+        hidden_ln = self.visual.ln_post(tokens)
+        hidden = hidden_ln @ self.visual.proj.astype(hidden_ln.dtype)
+        pooled = hidden[:, 0, :]
+        return VisionOutput(pooled=pooled, hidden=hidden,
+                            hidden_pre_proj=hidden_ln, mid=mid,
+                            mae_mask=mae_mask, ids_restore=ids_restore)
+
+    def encode_text(self, text: jax.Array, mask_ratio: float = 0.0,
+                    training: bool = False,
+                    mask_key: Optional[jax.Array] = None) -> TextOutput:
+        """text: (B, L) int token ids (0-padded, EOT = max id per row)."""
+        length = text.shape[1]
+        x = self.token_embedding(text).astype(self.compute_dtype)
+        x = x + self.positional_embedding[:length].astype(self.compute_dtype)
+
+        mae_mask, ids_restore = None, None
+        if mask_ratio > 0.0:
+            # Pin BOS (position 0) and each row's EOT so pooling survives.
+            sep_pos = jnp.argmax(text, axis=-1)
+            x, mae_mask, ids_restore, ids_keep = random_masking(
+                x, mask_ratio, key=mask_key, keep_cls=True, keep_sep=True,
+                sep_pos=sep_pos)
+            text = jnp.take_along_axis(text, ids_keep, axis=1)
+
+        bias = causal_mask(x.shape[1])
+        x = self.transformer(x, bias=bias)
+        hidden_ln = self.ln_final(x)
+        hidden = hidden_ln @ self.text_projection.astype(hidden_ln.dtype)
+
+        eot = jnp.argmax(text, axis=-1)
+        pooled = jnp.take_along_axis(hidden, eot[:, None, None], axis=1)[:, 0]
+        return TextOutput(pooled=pooled, hidden=hidden, mae_mask=mae_mask,
+                          ids_restore=ids_restore)
+
+    def __call__(self, image: jax.Array, text: jax.Array):
+        """CLIP-style similarity logits (used for init/shape inference)."""
+        img = self.encode_image(image).pooled
+        txt = self.encode_text(text).pooled
+        img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
+        txt = txt / jnp.linalg.norm(txt, axis=-1, keepdims=True)
+        scale = jnp.exp(self.logit_scale)
+        return scale * img @ txt.T, scale * txt @ img.T

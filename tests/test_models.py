@@ -1,0 +1,213 @@
+"""Model-tree tests on a tiny config: shapes, both SegViT paths, loss
+structure, and block-level parity against a torch oracle assembled from the
+same weights."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+
+from segclip_tpu.config import ModelConfig
+from segclip_tpu.models.layers import ResidualAttentionBlock
+from segclip_tpu.models.seg_vit import SegViT
+from segclip_tpu.models.segclip import (SegCLIP, info_nce_pair, init_segclip,
+                                        superpixel_kl_loss)
+
+TINY = ModelConfig(
+    image_resolution=32, vision_patch_size=8, vision_width=64,
+    vision_layers=4, first_stage_layer=3, group_num=4, cross_layer=1,
+    context_length=16, vocab_size=512, transformer_width=64,
+    transformer_layers=2, embed_dim=32, max_words=12,
+    use_vision_mae_recon=True, use_text_mae_recon=True, use_seglabel=True,
+    mae_decoder_depth=1, mae_decoder_num_heads=2, compute_dtype="float32")
+
+RNG = np.random.default_rng(1)
+
+
+def _tiny_batch(b=2):
+    ids = np.zeros((b, TINY.max_words), np.int32)
+    ids[:, 0] = 510
+    lengths = RNG.integers(3, TINY.max_words, size=b)
+    for i, n in enumerate(lengths):
+        ids[i, 1:n - 1] = RNG.integers(1, 500, size=n - 2)
+        ids[i, n - 1] = 511
+    mask = (ids != 0).astype(np.int32)
+    # EOT (511) must be the max id → ensure body tokens < 511
+    img = RNG.normal(size=(b, 32, 32, 3)).astype(np.float32)
+    seg = RNG.integers(0, 3, size=(b, 4, 4)).astype(np.int32)
+    return (jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(img),
+            jnp.asarray(seg))
+
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    return init_segclip(TINY, seed=0)
+
+
+def test_segvit_inference_path_shapes():
+    model = SegViT(width=64, layers=4, first_stage_layer=3, group_num=4,
+                   cross_layer=1, compute_dtype=jnp.float32)
+    x = jnp.asarray(RNG.normal(size=(2, 17, 64)).astype(np.float32))
+    params = model.init({"params": jax.random.key(0)}, x, training=False)
+    out, mid = model.apply(params, x, training=False)
+    assert out.shape == (2, 5, 64)            # CLS + 4 group tokens
+    assert mid["hidden"].shape == (2, 16, 64)
+    assert mid["hard_attn"].shape == (2, 4, 16)
+    assert mid["soft_attn"].shape == (2, 4, 16)
+    # hard assignment is one-hot over groups for each patch
+    h = np.asarray(mid["hard_attn"])
+    np.testing.assert_allclose(h.sum(1), np.ones((2, 16)), atol=1e-6)
+
+
+def test_segvit_mae_path_shapes():
+    model = SegViT(width=64, layers=4, first_stage_layer=3, group_num=4,
+                   cross_layer=1, compute_dtype=jnp.float32)
+    x = jnp.asarray(RNG.normal(size=(2, 9, 64)).astype(np.float32))  # masked
+    params = model.init({"params": jax.random.key(0)}, x, training=False)
+    out, mid = model.apply(params, x, mae_path=True, training=True,
+                           gumbel_key=jax.random.key(1))
+    assert out.shape == (2, 9, 64)            # mean-CLS + 8 reconstructed
+    assert mid["hidden"].shape == (2, 8, 64)
+    assert mid["hard_attn"] is None
+    # CLS is the mean of the reconstructed tokens
+    np.testing.assert_allclose(np.asarray(out[:, 0]),
+                               np.asarray(mid["hidden"]).mean(1), atol=1e-5)
+
+
+def test_residual_block_matches_torch():
+    """Assemble the torch equivalent (MHA + LN + QuickGELU MLP) from our
+    params and compare."""
+    d, h = 32, 2
+    blk = ResidualAttentionBlock(d, h, compute_dtype=jnp.float32)
+    x_np = RNG.normal(size=(2, 5, d)).astype(np.float32)
+    params = blk.init(jax.random.key(2), jnp.asarray(x_np))["params"]
+    got = blk.apply({"params": params}, jnp.asarray(x_np))
+
+    p = jax.tree.map(np.asarray, params)
+    xt = torch.from_numpy(x_np)
+
+    def t_ln(x, p_ln):
+        return torch.nn.functional.layer_norm(
+            x, (d,), torch.from_numpy(p_ln["scale"]),
+            torch.from_numpy(p_ln["bias"]))
+
+    mha = torch.nn.MultiheadAttention(d, h, batch_first=True)
+    with torch.no_grad():
+        mha.in_proj_weight.copy_(torch.from_numpy(p["attn"]["qkv_kernel"].T))
+        mha.in_proj_bias.copy_(torch.from_numpy(p["attn"]["qkv_bias"]))
+        mha.out_proj.weight.copy_(torch.from_numpy(p["attn"]["out_kernel"].T))
+        mha.out_proj.bias.copy_(torch.from_numpy(p["attn"]["out_bias"]))
+
+    y = t_ln(xt, p["ln_1"])
+    xt = xt + mha(y, y, y, need_weights=False)[0]
+    z = t_ln(xt, p["ln_2"])
+    z = z @ torch.from_numpy(p["mlp"]["c_fc"]["kernel"]) + \
+        torch.from_numpy(p["mlp"]["c_fc"]["bias"])
+    z = z * torch.sigmoid(1.702 * z)
+    z = z @ torch.from_numpy(p["mlp"]["c_proj"]["kernel"]) + \
+        torch.from_numpy(p["mlp"]["c_proj"]["bias"])
+    want = (xt + z).detach().numpy()
+    np.testing.assert_allclose(np.asarray(got), want, atol=3e-5)
+
+
+def test_segclip_losses_finite_and_composed(tiny_model):
+    model, params = tiny_model
+    ids, mask, img, seg = _tiny_batch()
+    losses = model.apply({"params": params}, ids, mask, img, seg,
+                         training=True,
+                         rngs={"gumbel": jax.random.key(3),
+                               "mae": jax.random.key(4)})
+    for k in ("sim_loss", "seglabel_loss", "text_mae_loss", "vis_mae_loss",
+              "loss"):
+        assert k in losses, k
+        assert np.isfinite(float(losses[k])), k
+    total = sum(float(v) for k, v in losses.items() if k != "loss")
+    np.testing.assert_allclose(float(losses["loss"]), total, rtol=1e-6)
+
+
+def test_segclip_grads_flow_everywhere(tiny_model):
+    model, params = tiny_model
+    ids, mask, img, seg = _tiny_batch()
+
+    def loss_fn(p):
+        out = model.apply({"params": p}, ids, mask, img, seg, training=True,
+                          rngs={"gumbel": jax.random.key(3),
+                                "mae": jax.random.key(4)})
+        return out["loss"]
+
+    grads = jax.grad(loss_fn)(params)
+    flat = jax.tree.leaves(jax.tree.map(lambda g: np.abs(np.asarray(g)).sum(),
+                                        grads))
+    assert all(np.isfinite(v) for v in flat)
+    n_zero = sum(v == 0 for v in flat)
+    # Only the unused-path params (layers2 in MAE fwd / layers_mae2 in clean
+    # fwd) may be zero — both paths run here, so expect nearly all non-zero.
+    assert n_zero < len(flat) * 0.1, f"{n_zero}/{len(flat)} zero grads"
+
+
+def test_info_nce_identity_alignment():
+    """With perfectly aligned features, loss ≈ CE of a sharp diagonal."""
+    f = np.eye(4, 8, dtype=np.float32) + 1e-3
+    ls = jnp.asarray(np.log(20.0), jnp.float32)
+    loss = info_nce_pair(jnp.asarray(f), jnp.asarray(f), ls)
+    logits = 20.0 * (f / np.linalg.norm(f, axis=-1, keepdims=True)) @ \
+        (f / np.linalg.norm(f, axis=-1, keepdims=True)).T
+    want = -np.mean(np.diag(logits - np.log(np.exp(logits).sum(-1,
+                                                              keepdims=True))))
+    np.testing.assert_allclose(float(loss), want, rtol=1e-5)
+
+
+def test_info_nce_logit_scale_clamped():
+    f = RNG.normal(size=(4, 8)).astype(np.float32)
+    big = info_nce_pair(jnp.asarray(f), jnp.asarray(f),
+                        jnp.asarray(10.0, jnp.float32))     # e^10 ≫ 100
+    capped = info_nce_pair(jnp.asarray(f), jnp.asarray(f),
+                           jnp.asarray(np.log(100.0), jnp.float32))
+    np.testing.assert_allclose(float(big), float(capped), rtol=1e-6)
+
+
+def test_superpixel_kl_zero_when_consistent():
+    """If the assignment is identical for all patches in a superpixel, the
+    cluster mean equals each member → symmetric KL is 0."""
+    b, g = 1, 4
+    seg = jnp.asarray(np.array([[0, 0, 1, 1]]).reshape(1, 2, 2))
+    # logits per patch determined entirely by superpixel id
+    base = RNG.normal(size=(2, g)).astype(np.float32)
+    attn_logits = np.stack([base[0], base[0], base[1], base[1]], axis=0)
+    hard = jnp.asarray(attn_logits.T[None])      # (1, G, L)
+    loss = superpixel_kl_loss(hard, seg)
+    np.testing.assert_allclose(float(loss), 0.0, atol=1e-6)
+
+
+def test_superpixel_kl_positive_when_inconsistent():
+    seg = jnp.asarray(np.zeros((1, 2, 2), np.int32))   # all one superpixel
+    hard = jnp.asarray(RNG.normal(size=(1, 4, 4)).astype(np.float32))
+    assert float(superpixel_kl_loss(hard, seg)) > 0
+
+
+def test_eval_mode_deterministic(tiny_model):
+    model, params = tiny_model
+    ids, mask, img, seg = _tiny_batch()
+    out1 = model.apply({"params": params}, img,
+                       method=lambda m, im: m.encode_image(im, training=False))
+    out2 = model.apply({"params": params}, img,
+                       method=lambda m, im: m.encode_image(im, training=False))
+    np.testing.assert_array_equal(np.asarray(out1.pooled),
+                                  np.asarray(out2.pooled))
+    assert out1.pooled.shape == (2, TINY.embed_dim)
+    assert out1.hidden.shape == (2, 1 + TINY.group_num, TINY.embed_dim)
+
+
+def test_text_eot_pooling(tiny_model):
+    model, params = tiny_model
+    ids, mask, img, seg = _tiny_batch()
+    out = model.apply({"params": params}, ids,
+                      method=lambda m, t: m.encode_text(t, training=False))
+    hid = np.asarray(out.hidden)
+    eots = np.asarray(ids).argmax(-1)
+    for i in range(ids.shape[0]):
+        np.testing.assert_array_equal(np.asarray(out.pooled)[i],
+                                      hid[i, eots[i]])
