@@ -1,0 +1,43 @@
+"""Device-mesh construction and sharding helpers.
+
+The reference's only parallelism is DDP over NCCL (SURVEY.md §2.5). Here the
+equivalent is a 1-D `data` mesh; the train step runs under shard_map with the
+batch sharded on `data` and params replicated — gradient psum replaces DDP
+hooks, `lax.all_gather` replaces diffdist. The same code scales to multi-host
+(ICI within a slice, DCN across) by building the mesh over all processes'
+devices; extra axes (e.g. `model` for tensor parallelism at larger widths)
+can be added without touching the step function.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(n_data: int = -1,
+              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data == -1:
+        n_data = len(devices)
+    if n_data > len(devices):
+        raise ValueError(f"need {n_data} devices, have {len(devices)}")
+    return Mesh(np.array(devices[:n_data]), (DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a host-global batch dict onto the mesh, sharded on axis 0."""
+    sharding = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)

@@ -1,0 +1,135 @@
+"""The pjit/shard_map training step.
+
+Semantics per reference train_epoch (main_task_align.py:292-359):
+  forward (4 losses) → backward → global-norm grad clip at 1.0 →
+  NaN-loss step skip (grads computed, optimizer untouched) →
+  AdaptAdamW update (schedule fused) → post-step clamp of logit_scale
+  to ln(100).
+
+Distribution: batch sharded over the `data` mesh axis, params replicated.
+Gradients are `psum`-averaged (the DDP all-reduce equivalent); the InfoNCE
+all-gather and rank-offset labels ride the same axis name.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from segclip_tpu.config import Config
+from segclip_tpu.models.segclip import SegCLIP
+from segclip_tpu.parallel.mesh import DATA_AXIS
+from segclip_tpu.train.optimizer import (AdaptAdamWState, adapt_adamw,
+                                         global_norm_clip)
+from segclip_tpu.train.param_groups import lr_wd_trees, trainable_tree
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    opt_state: AdaptAdamWState
+    rng: jax.Array
+
+
+def create_train_state(cfg: Config, params: Any, t_total: int,
+                       seed: int = 0) -> Tuple[TrainState, Any]:
+    """Build TrainState + the optimizer transform (kept separately since the
+    transform closes over static label trees)."""
+    lr_tree, wd_tree = lr_wd_trees(params, cfg.optim)
+    trainable = trainable_tree(params, cfg.optim,
+                               first_stage_layer=cfg.model.first_stage_layer)
+    tx = adapt_adamw(lr_tree, wd_tree, trainable, t_total=t_total,
+                     warmup=cfg.optim.warmup_proportion,
+                     schedule=cfg.optim.schedule, b1=cfg.optim.b1,
+                     b2=cfg.optim.b2, eps=cfg.optim.eps,
+                     lr_start=cfg.optim.lr_start, lr_end=cfg.optim.lr_end)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       opt_state=tx.init(params),
+                       rng=jax.random.key(seed))
+    return state, tx
+
+
+def _loss_fn(params, model: SegCLIP, batch, rngs, axis_name):
+    losses = model.apply({"params": params}, batch["input_ids"],
+                         batch["attention_mask"], batch["image"],
+                         batch.get("image_seg"), training=True,
+                         axis_name=axis_name, rngs=rngs)
+    return losses["loss"], losses
+
+
+def train_step_fn(state: TrainState, batch: dict, model: SegCLIP, tx,
+                  max_grad_norm: float = 1.0,
+                  axis_name: Optional[str] = DATA_AXIS):
+    """One optimizer step. Runs replicated under shard_map (or single-device
+    when axis_name is None)."""
+    step_rng = jax.random.fold_in(state.rng, state.step)
+    if axis_name is not None:
+        # decorrelate Gumbel/MAE noise across shards
+        step_rng = jax.random.fold_in(step_rng, jax.lax.axis_index(axis_name))
+    g_rng, m_rng = jax.random.split(step_rng)
+    rngs = {"gumbel": g_rng, "mae": m_rng}
+
+    grad_fn = jax.value_and_grad(_loss_fn, has_aux=True)
+    (loss, losses), grads = grad_fn(state.params, model, batch, rngs,
+                                    axis_name)
+
+    if axis_name is not None:
+        grads = jax.lax.pmean(grads, axis_name)
+        losses = jax.lax.pmean(losses, axis_name)
+        loss = losses["loss"]
+
+    grads, grad_norm = global_norm_clip(grads, max_grad_norm)
+
+    updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+    new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+
+    # Post-step clamp: logit_scale ≤ ln(100) (main_task_align.py:344-347).
+    clamped = jnp.minimum(new_params["clip"]["logit_scale"],
+                          jnp.log(100.0).astype(
+                              new_params["clip"]["logit_scale"].dtype))
+    new_params = dict(new_params)
+    new_params["clip"] = dict(new_params["clip"])
+    new_params["clip"]["logit_scale"] = clamped
+
+    # NaN-loss skip: keep old params & optimizer state, don't advance the
+    # schedule (main_task_align.py:331-338 / torch step-not-called).
+    ok = jnp.logical_not(jnp.isnan(loss))
+
+    def pick(new, old):
+        return jax.tree.map(lambda n, o: jnp.where(ok, n, o), new, old)
+
+    final_params = pick(new_params, state.params)
+    final_opt = pick(new_opt_state, state.opt_state)
+
+    new_state = state.replace(step=state.step + 1, params=final_params,
+                              opt_state=final_opt)
+    metrics = dict(losses)
+    metrics["grad_norm"] = grad_norm
+    metrics["skipped_nan"] = jnp.logical_not(ok).astype(jnp.float32)
+    return new_state, metrics
+
+
+def make_sharded_train_step(mesh: Mesh, model: SegCLIP, tx,
+                            max_grad_norm: float = 1.0):
+    """jit(shard_map(train_step)): batch sharded on `data`, state replicated."""
+    fn = functools.partial(train_step_fn, model=model, tx=tx,
+                           max_grad_norm=max_grad_norm, axis_name=DATA_AXIS)
+    sharded = shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False)
+    return jax.jit(sharded)
+
+
+def make_single_device_train_step(model: SegCLIP, tx,
+                                  max_grad_norm: float = 1.0):
+    fn = functools.partial(train_step_fn, model=model, tx=tx,
+                           max_grad_norm=max_grad_norm, axis_name=None)
+    return jax.jit(fn)
