@@ -1,0 +1,93 @@
+"""Orbax checkpointing of the full train state.
+
+Replaces the reference's per-epoch torch.save pair
+(`pytorch_model.bin.{epoch}` + `pytorch_opt.bin.{epoch}`,
+main_task_align.py:258-290) with per-step/epoch Orbax directories holding
+{params, opt_state, step, epoch}, plus max-kept GC and auto-resume
+(the GroupViT-inherited helpers in seg_segmentation/checkpoint.py:97-138).
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _abs(path: str) -> str:
+    return os.path.abspath(os.path.expanduser(path))
+
+
+def save_checkpoint(output_dir: str, epoch: int, state: Any,
+                    max_kept: int = -1) -> str:
+    """Save TrainState under <output_dir>/ckpt_epoch_<epoch>."""
+    path = os.path.join(_abs(output_dir), f"ckpt_epoch_{epoch}")
+    ckptr = ocp.StandardCheckpointer()
+    payload = {"params": state.params, "opt_state_mu": state.opt_state.mu,
+               "opt_state_nu": state.opt_state.nu,
+               "opt_step": state.opt_state.step,
+               "step": state.step, "epoch": np.int32(epoch)}
+    ckptr.save(path, payload, force=True)
+    ckptr.wait_until_finished()
+    if max_kept > 0:
+        _gc_old(output_dir, max_kept)
+    return path
+
+
+def _list_ckpts(output_dir: str):
+    root = _abs(output_dir)
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for d in os.listdir(root):
+        if d.startswith("ckpt_epoch_"):
+            try:
+                out.append((int(d.rsplit("_", 1)[1]), os.path.join(root, d)))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _gc_old(output_dir: str, max_kept: int) -> None:
+    import shutil
+    ckpts = _list_ckpts(output_dir)
+    for _, path in ckpts[:-max_kept]:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def auto_resume_path(output_dir: str) -> Optional[str]:
+    """Latest checkpoint dir, or None (auto_resume_helper equivalent)."""
+    ckpts = _list_ckpts(output_dir)
+    return ckpts[-1][1] if ckpts else None
+
+
+def restore_checkpoint(path: str, state: Any) -> tuple[Any, int]:
+    """Restore into a template TrainState; returns (state, epoch)."""
+    ckptr = ocp.StandardCheckpointer()
+    template = {"params": state.params, "opt_state_mu": state.opt_state.mu,
+                "opt_state_nu": state.opt_state.nu,
+                "opt_step": state.opt_state.step,
+                "step": state.step, "epoch": np.int32(0)}
+    restored = ckptr.restore(_abs(path), template)
+    new_state = state.replace(
+        step=restored["step"], params=restored["params"],
+        opt_state=state.opt_state._replace(mu=restored["opt_state_mu"],
+                                           nu=restored["opt_state_nu"],
+                                           step=restored["opt_step"]))
+    return new_state, int(restored["epoch"])
+
+
+def save_params(output_dir: str, name: str, params: Any) -> str:
+    """Model-weights-only save (the --init_model role)."""
+    path = os.path.join(_abs(output_dir), name)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, {"params": params}, force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def restore_params(path: str, params_template: Any) -> Any:
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(_abs(path), {"params": params_template})["params"]

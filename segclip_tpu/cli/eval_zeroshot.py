@@ -1,0 +1,74 @@
+"""Zero-shot segmentation mIoU evaluation (main_seg_zeroshot.py equivalent).
+
+    python -m segclip_tpu.cli.eval_zeroshot --dataset voc \
+        --data-root /data/VOC2012 --init-model segclip.bin
+"""
+from __future__ import annotations
+
+import argparse
+import json
+
+from segclip_tpu.config import ModelConfig, apply_overrides
+from segclip_tpu.cli.common import load_model
+from segclip_tpu.evalseg.datasets import DATASET_SPECS, SegEvalDataset
+from segclip_tpu.evalseg.inference import ZeroShotSegmenter, evaluate_dataset
+from segclip_tpu.evalseg.text_bank import build_text_bank
+from segclip_tpu.utils.logging import get_logger
+
+
+def build_segmenter(model, params, cfg: ModelConfig, spec,
+                    template_set: str = "simple",
+                    bg_thresh: float | None = None) -> ZeroShotSegmenter:
+    classnames = spec.classes[1:] if spec.with_bg else spec.classes
+    bank = build_text_bank(model, params, classnames, template_set,
+                           context_length=cfg.context_length)
+    return ZeroShotSegmenter(
+        model, params, bank, with_bg=spec.with_bg,
+        bg_thresh=spec.bg_thresh if bg_thresh is None else bg_thresh,
+        patch_size=cfg.vision_patch_size)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--dataset", choices=sorted(DATASET_SPECS), default="voc")
+    ap.add_argument("--data-root", required=True)
+    ap.add_argument("--init-model", default=None,
+                    help="torch .bin/.pt or Orbax params dir")
+    ap.add_argument("--template", default="simple",
+                    choices=["simple", "subset", "full", "identity"])
+    ap.add_argument("--bg-thresh", type=float, default=None,
+                    help="override the per-dataset background threshold")
+    ap.add_argument("--limit", type=int, default=None,
+                    help="evaluate only the first N images")
+    ap.add_argument("--output-dir", default="output/eval")
+    ap.add_argument("--opts", nargs="*", default=[],
+                    help="model config overrides key=value")
+    args = ap.parse_args(argv)
+
+    logger = get_logger(args.output_dir)
+    cfg = ModelConfig()
+    for item in args.opts:
+        cfg = apply_overrides(cfg, [item])
+
+    model, params, cfg = load_model(args.init_model, cfg)
+    spec = DATASET_SPECS[args.dataset]
+    logger.info("dataset=%s classes=%d bg_thresh=%.2f", spec.name,
+                len(spec.classes),
+                spec.bg_thresh if args.bg_thresh is None else args.bg_thresh)
+
+    segmenter = build_segmenter(model, params, cfg, spec,
+                                template_set=args.template,
+                                bg_thresh=args.bg_thresh)
+    dataset = SegEvalDataset(spec, args.data_root, limit=args.limit)
+    logger.info("evaluating %d images", len(dataset))
+
+    results = evaluate_dataset(segmenter, dataset, logger=logger)
+    logger.info("mIoU=%.2f mAcc=%.2f aAcc=%.2f", results["mIoU"],
+                results["mAcc"], results["aAcc"])
+    print(json.dumps({"dataset": spec.name, "mIoU": results["mIoU"],
+                      "mAcc": results["mAcc"], "aAcc": results["aAcc"]}))
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,216 @@
+"""Zero-shot segmentation inference: group-attention decode + sliding window.
+
+Reproduces ViTSegInference (seg_segmentation/evaluation/vit_seg.py:118-256)
+TPU-natively:
+  - ONE encode_image per crop (the reference encodes twice — once in
+    get_attn_maps, once in encode_decode — with identical deterministic
+    results; we reuse the outputs);
+  - soft patch→group attention bilinearly upsampled to pixels
+    (resize_attn_map, vit_seg.py:30-58) then hard-argmaxed one-hot;
+  - group↔class affinity softmax with the image-level top-5 class gate
+    (vit_seg.py:232-247) and the per-crop background threshold
+    min(bg_thresh, affinity.max()) (vit_seg.py:252-254);
+  - sliding-window accumulation (mmseg EncoderDecoder.slide_inference
+    semantics: edge-aligned 224² windows, stride 224, logit averaging) with
+    crops batched into padded power-of-two buckets so each bucket size
+    compiles once.
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from segclip_tpu.evalseg.miou import MIoUMeter
+from segclip_tpu.ops.pos_embed import interp_matrix
+
+
+def _upsample_attn(soft_attn: jax.Array, gh: int, gw: int, out_h: int,
+                   out_w: int) -> jax.Array:
+    """(N, G, gh·gw) → (N, out_h, out_w, G) bilinear, torch
+    align_corners=False semantics, as two static matmuls."""
+    n, g, _ = soft_attn.shape
+    attn = soft_attn.reshape(n, g, gh, gw).astype(jnp.float32)
+    mh = jnp.asarray(interp_matrix(gh, out_h, "linear"))
+    mw = jnp.asarray(interp_matrix(gw, out_w, "linear"))
+    attn = jnp.einsum("oh,nghw->ngow", mh, attn)
+    attn = jnp.einsum("pw,ngow->ngop", mw, attn)
+    return attn.transpose(0, 2, 3, 1)            # (N, H, W, G)
+
+
+def _decode_crops(params, crops, text_bank, model, with_bg: bool,
+                  bg_thresh: float, out_h: int, out_w: int, gh: int, gw: int):
+    """crops: (N, h, w, 3) → per-pixel class logits (N, C[+bg], out_h, out_w)."""
+    vis = model.apply({"params": params}, crops,
+                      method=lambda m, im: m.encode_image(im,
+                                                          training=False))
+    soft_attn = vis.mid["soft_attn"]                     # (N, G, L)
+    attn_up = _upsample_attn(soft_attn, gh, gw, out_h, out_w)
+    onehot = jax.nn.one_hot(jnp.argmax(attn_up, axis=-1),
+                            attn_up.shape[-1], dtype=jnp.float32)
+
+    groups = vis.hidden[:, 1:, :].astype(jnp.float32)    # (N, G, E)
+    pooled = vis.pooled.astype(jnp.float32)              # (N, E)
+    groups = groups / jnp.linalg.norm(groups, axis=-1, keepdims=True)
+    pooled = pooled / jnp.linalg.norm(pooled, axis=-1, keepdims=True)
+
+    scale = jnp.minimum(
+        jnp.exp(params["clip"]["logit_scale"].astype(jnp.float32)), 100.0)
+    text = text_bank.astype(jnp.float32)                 # (C, E)
+    num_fg = text.shape[0]
+
+    group_aff = jnp.einsum("nge,ce->ngc", groups, text) * scale
+    pre_aff = jax.nn.softmax(group_aff, axis=-1)
+
+    avg_aff = jax.nn.softmax(
+        jnp.einsum("ne,ce->nc", pooled, text) * scale, axis=-1)
+    k = min(5, num_fg)
+    _, top_idx = jax.lax.top_k(avg_aff, k)               # (N, k)
+    gate = jnp.zeros_like(avg_aff).at[
+        jnp.arange(avg_aff.shape[0])[:, None], top_idx].set(1.0)
+
+    gated = jnp.where(gate[:, None, :] > 0, group_aff, -jnp.inf)
+    aff = jax.nn.softmax(gated, axis=-1) * pre_aff       # (N, G, C)
+
+    fg = jnp.einsum("nhwg,ngc->nhwc", onehot, aff)       # (N, H, W, C)
+
+    if with_bg:
+        crop_max = jnp.max(aff, axis=(1, 2))             # (N,) per-crop max
+        thresh = jnp.minimum(bg_thresh, crop_max)[:, None, None]
+        bg = (jnp.max(fg, axis=-1) < thresh).astype(fg.dtype)[..., None]
+        logits = jnp.concatenate([bg, fg], axis=-1)
+    else:
+        logits = fg
+    return logits.transpose(0, 3, 1, 2)                  # (N, C, H, W)
+
+
+class ZeroShotSegmenter:
+    """Stateful wrapper: jits the crop decoder per (bucket, crop-shape)."""
+
+    def __init__(self, model, params, text_bank, with_bg: bool,
+                 bg_thresh: float, patch_size: int = 16,
+                 crop_size: int = 224, stride: int = 224):
+        self.model = model
+        self.params = params
+        self.text_bank = text_bank
+        self.with_bg = with_bg
+        self.bg_thresh = bg_thresh
+        self.patch = patch_size
+        self.crop = crop_size
+        self.stride = stride
+        self.num_classes = text_bank.shape[0] + (1 if with_bg else 0)
+        self._jitted = {}
+
+    def _decoder(self, n: int, h: int, w: int,
+                 out_h: Optional[int] = None, out_w: Optional[int] = None):
+        out_h, out_w = out_h or h, out_w or w
+        key = (n, h, w, out_h, out_w)
+        if key not in self._jitted:
+            gh, gw = h // self.patch, w // self.patch
+            fn = functools.partial(_decode_crops, model=self.model,
+                                   with_bg=self.with_bg,
+                                   bg_thresh=self.bg_thresh,
+                                   out_h=out_h, out_w=out_w, gh=gh, gw=gw)
+            self._jitted[key] = jax.jit(fn)
+        return self._jitted[key]
+
+    def _windows(self, h: int, w: int):
+        """Edge-aligned slide windows (mmseg slide_inference semantics)."""
+        hs = max(1, math.ceil((h - self.crop) / self.stride) + 1)
+        ws = max(1, math.ceil((w - self.crop) / self.stride) + 1)
+        wins = []
+        for i in range(hs):
+            for j in range(ws):
+                y2 = min(i * self.stride + self.crop, h)
+                x2 = min(j * self.stride + self.crop, w)
+                y1, x1 = max(y2 - self.crop, 0), max(x2 - self.crop, 0)
+                wins.append((y1, x1, y2, x2))
+        return wins
+
+    def slide(self, image: np.ndarray) -> np.ndarray:
+        """image: normalized (H, W, 3), H/W ≥ crop → class logits (C, H, W)."""
+        h, w, _ = image.shape
+        wins = self._windows(h, w)
+        crops = np.stack([image[y1:y2, x1:x2] for y1, x1, y2, x2 in wins])
+
+        n = len(wins)
+        bucket = 1 << (n - 1).bit_length()            # next power of two
+        if bucket > n:
+            pad = np.zeros((bucket - n,) + crops.shape[1:], crops.dtype)
+            crops = np.concatenate([crops, pad])
+
+        logits = np.asarray(
+            self._decoder(bucket, self.crop, self.crop)(
+                self.params, jnp.asarray(crops), self.text_bank))[:n]
+
+        canvas = np.zeros((self.num_classes, h, w), np.float32)
+        count = np.zeros((1, h, w), np.float32)
+        for lg, (y1, x1, y2, x2) in zip(logits, wins):
+            canvas[:, y1:y2, x1:x2] += lg
+            count[:, y1:y2, x1:x2] += 1.0
+        return canvas / count
+
+    def whole(self, image: np.ndarray) -> np.ndarray:
+        """Whole-image mode. The encoder floors H/W to patch multiples (a
+        stride-16 conv ignores trailing pixels) but the attention maps are
+        upsampled to the full (H, W), matching the reference decode."""
+        h, w, _ = image.shape
+        hf = h // self.patch * self.patch
+        wf = w // self.patch * self.patch
+        logits = np.asarray(
+            self._decoder(1, hf, wf, h, w)(
+                self.params, jnp.asarray(image[None, :hf, :wf]),
+                self.text_bank))[0]
+        return logits
+
+    def group_map(self, image: np.ndarray) -> np.ndarray:
+        """Hard patch→group assignment upsampled to pixels (H, W) int32 —
+        the demo's *_group visualization (vit_seg.py:144-200, 346-375)."""
+        h, w, _ = image.shape
+        hf = h // self.patch * self.patch
+        wf = w // self.patch * self.patch
+        gh, gw = hf // self.patch, wf // self.patch
+
+        @jax.jit
+        def attn_fn(params, img):
+            vis = self.model.apply(
+                {"params": params}, img,
+                method=lambda m, im: m.encode_image(im, training=False))
+            return _upsample_attn(vis.mid["soft_attn"], gh, gw, h, w)
+
+        attn = np.asarray(attn_fn(self.params,
+                                  jnp.asarray(image[None, :hf, :wf])))[0]
+        return attn.argmax(axis=-1).astype(np.int32)
+
+    def predict(self, image: np.ndarray, orig_shape: Tuple[int, int],
+                mode: str = "slide") -> np.ndarray:
+        """Full-image class prediction at the ORIGINAL resolution (mmseg
+        rescale=True: bilinear logits upsample then argmax)."""
+        logits = self.slide(image) if mode == "slide" else self.whole(image)
+        oh, ow = orig_shape
+        c, h, w = logits.shape
+        if (oh, ow) != (h, w):
+            mh = interp_matrix(h, oh, "linear")
+            mw = interp_matrix(w, ow, "linear")
+            logits = np.einsum("oh,chw->cow", mh, logits)
+            logits = np.einsum("pw,cow->cop", mw, logits)
+        return logits.argmax(axis=0).astype(np.int32)
+
+
+def evaluate_dataset(segmenter: ZeroShotSegmenter, dataset,
+                     log_every: int = 50, logger=None) -> dict:
+    """Run zero-shot mIoU over a SegEvalDataset."""
+    meter = MIoUMeter(segmenter.num_classes,
+                      ignore_index=dataset.spec.ignore_index)
+    for i, sample in enumerate(dataset):
+        pred = segmenter.predict(sample.image, sample.orig_shape)
+        if sample.label is not None:
+            meter.update(pred, sample.label)
+        if logger and (i + 1) % log_every == 0:
+            logger.info("eval %d/%d  running mIoU %.2f", i + 1, len(dataset),
+                        meter.results()["mIoU"])
+    return meter.results(dataset.spec.classes)
