@@ -22,6 +22,8 @@ BASELINE_IMG_S_PER_CHIP = 300.0
 
 
 def main():
+    from segclip_tpu.utils.jax_setup import setup_jax
+    setup_jax()
     import jax
     from segclip_tpu.config import Config, ModelConfig, OptimConfig
     from segclip_tpu.models.segclip import init_segclip

@@ -28,7 +28,8 @@ def save_checkpoint(output_dir: str, epoch: int, state: Any,
     payload = {"params": state.params, "opt_state_mu": state.opt_state.mu,
                "opt_state_nu": state.opt_state.nu,
                "opt_step": state.opt_state.step,
-               "step": state.step, "epoch": np.int32(epoch)}
+               "step": state.step,
+               "epoch": jax.numpy.asarray(epoch, np.int32)}
     ckptr.save(path, payload, force=True)
     ckptr.wait_until_finished()
     if max_kept > 0:
@@ -69,7 +70,8 @@ def restore_checkpoint(path: str, state: Any) -> tuple[Any, int]:
     template = {"params": state.params, "opt_state_mu": state.opt_state.mu,
                 "opt_state_nu": state.opt_state.nu,
                 "opt_step": state.opt_state.step,
-                "step": state.step, "epoch": np.int32(0)}
+                "step": state.step,
+                "epoch": jax.numpy.asarray(0, np.int32)}
     restored = ckptr.restore(_abs(path), template)
     new_state = state.replace(
         step=restored["step"], params=restored["params"],

@@ -24,6 +24,8 @@ VIS_MODES = ("input", "pred", "input_pred", "input_pred_label",
 
 
 def main(argv=None):
+    from segclip_tpu.utils.jax_setup import setup_jax
+    setup_jax()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--input", required=True, help="input image path")
     ap.add_argument("--init-model", default=None)

@@ -29,6 +29,8 @@ def build_segmenter(model, params, cfg: ModelConfig, spec,
 
 
 def main(argv=None):
+    from segclip_tpu.utils.jax_setup import setup_jax
+    setup_jax()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--dataset", choices=sorted(DATASET_SPECS), default="voc")
     ap.add_argument("--data-root", required=True)

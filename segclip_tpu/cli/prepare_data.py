@@ -1,0 +1,132 @@
+"""Offline data preparation (preprocess/{COCO,GCC3M} equivalents).
+
+Subcommands:
+  pack        images + captions → <name>_images.sgr / <name>_captions.sgr
+              (replaces write_coco_images.py / generate_lmdb_from_pickles.py:
+              images resized so the short side is 224 and re-encoded JPEG)
+  superpixels compute Felzenszwalb maps over an images shard →
+              <name>_seg.sgr (replaces felzenszwalb_extraction_*.py;
+              scale=224 sigma=0.9 min_size=224)
+
+Caption sources for `pack`:
+  --captions-json  {"image_key": ["caption", ...], ...}
+  --karpathy-json  Karpathy-split dataset_coco.json (images[].sentences[])
+"""
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import os
+import sys
+
+import numpy as np
+from PIL import Image
+
+from segclip_tpu.data.records import SgrReader, SgrWriter
+from segclip_tpu.data.superpixel import encode_seg_map, felzenszwalb
+from segclip_tpu.utils.logging import get_logger
+
+
+def resize_short_side(img: Image.Image, short: int = 224) -> Image.Image:
+    w, h = img.size
+    if min(w, h) <= short:
+        return img
+    s = short / min(w, h)
+    return img.resize((int(round(w * s)), int(round(h * s))), Image.BICUBIC)
+
+
+def load_captions(args) -> dict:
+    if args.captions_json:
+        with open(args.captions_json) as f:
+            caps = json.load(f)
+        return {k: (v if isinstance(v, list) else [v])
+                for k, v in caps.items()}
+    if args.karpathy_json:
+        with open(args.karpathy_json) as f:
+            data = json.load(f)
+        out = {}
+        for img in data["images"]:
+            if args.karpathy_split and img.get("split") != args.karpathy_split:
+                continue
+            key = img["filename"]
+            out[key] = [s["raw"] for s in img["sentences"]]
+        return out
+    raise SystemExit("pack needs --captions-json or --karpathy-json")
+
+
+def cmd_pack(args):
+    logger = get_logger()
+    captions = load_captions(args)
+    out_img = os.path.join(args.out_dir, f"{args.name}_images.sgr")
+    out_cap = os.path.join(args.out_dir, f"{args.name}_captions.sgr")
+
+    n_ok, n_missing = 0, 0
+    with SgrWriter(out_img) as wi, SgrWriter(out_cap) as wc:
+        for key, caps in sorted(captions.items()):
+            path = os.path.join(args.image_dir, key)
+            if not os.path.exists(path):
+                n_missing += 1
+                continue
+            try:
+                img = Image.open(path).convert("RGB")
+                img = resize_short_side(img, args.short_side)
+                buf = io.BytesIO()
+                img.save(buf, format="JPEG", quality=args.quality)
+                wi.add(key, buf.getvalue())
+                wc.add(key, json.dumps(caps).encode())
+                n_ok += 1
+            except Exception as e:
+                logger.warning("skip %s: %s", key, e)
+            if n_ok % 1000 == 0 and n_ok:
+                logger.info("packed %d images", n_ok)
+    logger.info("done: %d packed, %d missing → %s", n_ok, n_missing, out_img)
+
+
+def cmd_superpixels(args):
+    logger = get_logger()
+    images = SgrReader(os.path.join(args.data_dir,
+                                    f"{args.name}_images.sgr"))
+    out = os.path.join(args.data_dir, f"{args.name}_seg.sgr")
+    with SgrWriter(out) as w:
+        for i in range(len(images)):
+            key, jpeg = images.record(i)
+            img = np.asarray(Image.open(io.BytesIO(jpeg)).convert("RGB"))
+            labels = felzenszwalb(img, scale=args.scale, sigma=args.sigma,
+                                  min_size=args.min_size)
+            w.add(key, encode_seg_map(labels))
+            if (i + 1) % 500 == 0:
+                logger.info("superpixels %d/%d", i + 1, len(images))
+    logger.info("wrote %s", out)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("pack")
+    p.add_argument("--name", required=True)
+    p.add_argument("--image-dir", required=True)
+    p.add_argument("--captions-json", default=None)
+    p.add_argument("--karpathy-json", default=None)
+    p.add_argument("--karpathy-split", default=None,
+                   help="train/val/test filter for Karpathy json")
+    p.add_argument("--out-dir", required=True)
+    p.add_argument("--short-side", type=int, default=224)
+    p.add_argument("--quality", type=int, default=90)
+    p.set_defaults(fn=cmd_pack)
+
+    p = sub.add_parser("superpixels")
+    p.add_argument("--name", required=True)
+    p.add_argument("--data-dir", required=True)
+    p.add_argument("--scale", type=float, default=224.0)
+    p.add_argument("--sigma", type=float, default=0.9)
+    p.add_argument("--min-size", type=int, default=224)
+    p.set_defaults(fn=cmd_superpixels)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

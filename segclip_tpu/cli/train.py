@@ -1,0 +1,107 @@
+"""Pretraining CLI (main_task_align.py equivalent).
+
+    python -m segclip_tpu.cli.train --datatype cc,coco, --data-dir /data \
+        --batch-size 768 --epochs 10 --lr 4e-3 --lower-lr 4e-6 \
+        --use-seglabel --use-vision-mae-recon --init-model ViT-B-16.pt
+
+Smoke run (no data needed):
+    python -m segclip_tpu.cli.train --datatype synthetic --batch-size 8 \
+        --epochs 1 --opts model.vision_width=64 ...
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+from segclip_tpu.config import (Config, DataConfig, ModelConfig, OptimConfig,
+                                TrainConfig, apply_overrides)
+from segclip_tpu.utils.logging import get_logger
+
+
+def build_config(args) -> Config:
+    model = ModelConfig(
+        use_seglabel=args.use_seglabel,
+        use_vision_mae_recon=args.use_vision_mae_recon,
+        use_text_mae_recon=args.use_text_mae_recon,
+        max_words=args.max_words,
+        first_stage_layer=args.first_stage_layer)
+    optim = OptimConfig(
+        lr=args.lr, lower_lr=args.lower_lr,
+        warmup_proportion=args.warmup_proportion,
+        weight_decay=args.weight_decay,
+        freeze_layer_num=args.freeze_layer_num,
+        freeze_text_layer_num=args.freeze_text_layer_num)
+    data = DataConfig(datatype=args.datatype, batch_size=args.batch_size,
+                      max_words=args.max_words, data_dir=args.data_dir)
+    train_c = TrainConfig(epochs=args.epochs, seed=args.seed,
+                          log_every=args.n_display,
+                          output_dir=args.output_dir,
+                          resume=args.resume_model,
+                          eval_each_epoch=args.eval_each_epoch)
+    cfg = Config(model=model, optim=optim, data=data, train=train_c)
+    return apply_overrides(cfg, args.opts)
+
+
+def main(argv=None):
+    from segclip_tpu.utils.jax_setup import setup_jax
+    setup_jax()
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--datatype", default="synthetic",
+                    help='comma-joined dataset names, e.g. "cc,coco," '
+                         'or "synthetic"')
+    ap.add_argument("--data-dir", default="")
+    ap.add_argument("--batch-size", type=int, default=768,
+                    help="GLOBAL batch size")
+    ap.add_argument("--epochs", type=int, default=10)
+    ap.add_argument("--lr", type=float, default=4e-3)
+    ap.add_argument("--lower-lr", type=float, default=4e-6)
+    ap.add_argument("--warmup-proportion", type=float, default=0.15)
+    ap.add_argument("--weight-decay", type=float, default=0.05)
+    ap.add_argument("--max-words", type=int, default=32)
+    ap.add_argument("--first-stage-layer", type=int, default=10)
+    ap.add_argument("--freeze-layer-num", type=int, default=0)
+    ap.add_argument("--freeze-text-layer-num", type=int, default=0)
+    ap.add_argument("--use-seglabel", action="store_true")
+    ap.add_argument("--use-vision-mae-recon", action="store_true")
+    ap.add_argument("--use-text-mae-recon", action="store_true")
+    ap.add_argument("--init-model", default=None,
+                    help="torch CLIP/.bin checkpoint or Orbax params")
+    ap.add_argument("--resume-model", default=None)
+    ap.add_argument("--do-resume", action="store_true")
+    ap.add_argument("--n-display", type=int, default=50)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--output-dir", default="output/pretrain")
+    ap.add_argument("--eval-each-epoch", action="store_true")
+    ap.add_argument("--eval-data-root", default=None,
+                    help="VOC root for per-epoch zero-shot eval")
+    ap.add_argument("--opts", nargs="*", default=[],
+                    help="config overrides, e.g. model.vision_width=256")
+    args = ap.parse_args(argv)
+
+    cfg = build_config(args)
+    logger = get_logger(cfg.train.output_dir)
+    logger.info("config: %s", dataclasses.asdict(cfg))
+
+    eval_fn = None
+    if args.eval_each_epoch and args.eval_data_root:
+        from segclip_tpu.cli.eval_zeroshot import build_segmenter
+        from segclip_tpu.evalseg.datasets import (DATASET_SPECS,
+                                                  SegEvalDataset)
+        from segclip_tpu.evalseg.inference import evaluate_dataset
+
+        def eval_fn(model, params):
+            spec = DATASET_SPECS["voc"]
+            seg = build_segmenter(model, params, cfg.model, spec)
+            ds = SegEvalDataset(spec, args.eval_data_root)
+            return evaluate_dataset(seg, ds, logger=logger)["mIoU"]
+
+    from segclip_tpu.train.loop import train
+    result = train(cfg, init_model=args.init_model,
+                   resume=args.do_resume or bool(args.resume_model),
+                   eval_fn=eval_fn)
+    logger.info("training done: %d epochs, final loss %f",
+                result["epochs_run"], result["final_loss"])
+
+
+if __name__ == "__main__":
+    main()

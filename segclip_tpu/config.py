@@ -157,12 +157,16 @@ def apply_overrides(cfg: Any, dotlist: list[str]) -> Any:
 
 
 def _coerce(raw: str, typ: Any) -> Any:
-    if typ is bool or str(typ) == "bool":
+    # With `from __future__ import annotations`, dataclass field types are
+    # strings — normalize before comparing.
+    name = typ if isinstance(typ, str) else getattr(typ, "__name__",
+                                                    str(typ))
+    if name == "bool":
         return raw.lower() in ("1", "true", "yes", "on")
     try:
-        if typ is int:
+        if name == "int":
             return int(raw)
-        if typ is float:
+        if name == "float":
             return float(raw)
     except ValueError:
         pass

@@ -1,0 +1,241 @@
+"""Training input pipeline: record-backed image-text datasets, sharded
+epoch sampling, and a background-prefetch batch loader.
+
+Replaces the reference's torch DataLoader stack (dataloaders/*.py):
+  - COCO-style: one sample per (image, caption) pair
+    (dataloader_coco_retrieval.py:139-159);
+  - CC-style: one caption per image key (dataloader_cc_retrieval.py);
+  - comma-joined dataset concatenation ("cc,coco,") like DATALOADER_DICT's
+    ConcatDataset synthesis (data_dataloaders.py:80-116);
+  - DistributedSampler semantics: per-epoch seeded shuffle, host sharding,
+    drop_last (data_dataloaders.py:32-43);
+  - corrupt-image retry advancing the index mod len, ≤50 tries
+    (dataloader_cc_retrieval.py:149-162);
+  - superpixel maps cut from the cached full-image map with the crop coords.
+
+Storage is SGR record files (data/records.py):
+  <name>_images.sgr    key → JPEG bytes
+  <name>_captions.sgr  key → JSON list[str]
+  <name>_seg.sgr       key → zlib(json([h, w, flat])) superpixel map
+"""
+from __future__ import annotations
+
+import io
+import json
+import os
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image
+
+from segclip_tpu.config import DataConfig
+from segclip_tpu.data.records import SgrReader
+from segclip_tpu.data.superpixel import crop_seg_from_cache, decode_seg_map
+from segclip_tpu.data.tokenizer import ClipTokenizer, default_tokenizer
+from segclip_tpu.data.transforms import (clip_normalize,
+                                         random_resized_crop_coord)
+
+
+class PairRecordDataset:
+    """Image-text(-superpixel) dataset over SGR shards."""
+
+    def __init__(self, name: str, data_dir: str, max_words: int = 32,
+                 image_size: int = 224, patch_size: int = 16,
+                 use_seg: bool = True,
+                 tokenizer: Optional[ClipTokenizer] = None):
+        self.name = name
+        self.images = SgrReader(os.path.join(data_dir, f"{name}_images.sgr"))
+        self.captions = SgrReader(
+            os.path.join(data_dir, f"{name}_captions.sgr"))
+        seg_path = os.path.join(data_dir, f"{name}_seg.sgr")
+        self.seg = SgrReader(seg_path) if (use_seg and
+                                           os.path.exists(seg_path)) else None
+        self.max_words = max_words
+        self.image_size = image_size
+        self.patch_size = patch_size
+        self.tokenizer = tokenizer or default_tokenizer()
+
+        # samples = (image_index, caption_index-within-key)
+        self._keys: List[bytes] = []
+        self._samples: List[Tuple[int, int]] = []
+        for i in range(len(self.captions)):
+            key, payload = self.captions.record(i)
+            n_caps = len(json.loads(payload))
+            self._keys.append(key)
+            for c in range(n_caps):
+                self._samples.append((i, c))
+
+    def __len__(self) -> int:
+        return len(self._samples)
+
+    def sample(self, idx: int, rng: np.random.Generator) -> Dict:
+        img_i, cap_i = self._samples[idx]
+        key = self._keys[img_i]
+
+        caption = json.loads(self.captions.get(key))[cap_i]
+        jpeg = self.images.get(key)
+        img = Image.open(io.BytesIO(jpeg)).convert("RGB")
+
+        arr, coord = random_resized_crop_coord(img, self.image_size, rng)
+        out = {
+            "input_ids": self.tokenizer.tokenize(caption, self.max_words),
+            "image": clip_normalize(arr),
+            "coord": coord,
+        }
+        out["attention_mask"] = (out["input_ids"] != 0).astype(np.int32)
+
+        if self.seg is not None:
+            seg_full = decode_seg_map(self.seg.get(key))
+            out["image_seg"] = crop_seg_from_cache(
+                seg_full, coord, self.image_size,
+                self.patch_size).astype(np.int32)
+        return out
+
+
+class SyntheticDataset:
+    """Random data with the training-batch schema, for smoke runs."""
+
+    def __init__(self, length: int = 512, max_words: int = 32,
+                 image_size: int = 224, patch_size: int = 16,
+                 vocab_size: int = 49408, use_seg: bool = True):
+        self.length = length
+        self.max_words = max_words
+        self.image_size = image_size
+        self.grid = image_size // patch_size
+        self.vocab = vocab_size
+        self.use_seg = use_seg
+
+    def __len__(self):
+        return self.length
+
+    def sample(self, idx: int, rng: np.random.Generator) -> Dict:
+        ids = np.zeros(self.max_words, np.int32)
+        n = int(rng.integers(4, self.max_words))
+        ids[0] = 49406
+        ids[1:n - 1] = rng.integers(1, min(self.vocab - 2, 49000),
+                                    size=n - 2)
+        ids[n - 1] = 49407
+        out = {
+            "input_ids": ids,
+            "attention_mask": (ids != 0).astype(np.int32),
+            "image": rng.normal(size=(self.image_size, self.image_size, 3)
+                                ).astype(np.float32) * 0.3,
+            "coord": np.zeros(4, np.float32),
+        }
+        if self.use_seg:
+            out["image_seg"] = rng.integers(
+                0, 24, size=(self.grid, self.grid)).astype(np.int32)
+        return out
+
+
+class ConcatDataset:
+    def __init__(self, parts: Sequence):
+        self.parts = list(parts)
+        self._offsets = np.cumsum([0] + [len(p) for p in self.parts])
+
+    def __len__(self):
+        return int(self._offsets[-1])
+
+    def sample(self, idx: int, rng: np.random.Generator) -> Dict:
+        part = int(np.searchsorted(self._offsets, idx, side="right")) - 1
+        return self.parts[part].sample(idx - int(self._offsets[part]), rng)
+
+
+def build_dataset(cfg: DataConfig, use_seg: bool = True):
+    """datatype "synthetic" | comma-joined shard names ("cc,coco,")."""
+    names = [n for n in cfg.datatype.split(",") if n]
+    parts = []
+    for name in names:
+        if name == "synthetic":
+            parts.append(SyntheticDataset(max_words=cfg.max_words,
+                                          use_seg=use_seg))
+        else:
+            parts.append(PairRecordDataset(name, cfg.data_dir,
+                                           max_words=cfg.max_words,
+                                           use_seg=use_seg))
+    if not parts:
+        raise ValueError(f"no datasets in datatype={cfg.datatype!r}")
+    return parts[0] if len(parts) == 1 else ConcatDataset(parts)
+
+
+class ShardedEpochSampler:
+    """DistributedSampler semantics: seeded per-epoch shuffle, contiguous
+    padding-free host shards, drop_last to a multiple of global batch."""
+
+    def __init__(self, length: int, global_batch: int, shard: int = 0,
+                 num_shards: int = 1, seed: int = 42):
+        self.length = length
+        self.global_batch = global_batch
+        self.shard = shard
+        self.num_shards = num_shards
+        self.seed = seed
+        assert global_batch % num_shards == 0
+        self.per_shard_batch = global_batch // num_shards
+        self.steps = length // global_batch
+
+    def epoch_indices(self, epoch: int) -> np.ndarray:
+        rng = np.random.default_rng(self.seed + epoch)
+        perm = rng.permutation(self.length)[:self.steps * self.global_batch]
+        # (steps, num_shards, per_shard_batch) → this host's column
+        perm = perm.reshape(self.steps, self.num_shards, self.per_shard_batch)
+        return perm[:, self.shard, :]
+
+
+class BatchLoader:
+    """Iterates batches for one epoch with a background prefetch thread and
+    the ≤50-retry corrupt-sample loop."""
+
+    MAX_RETRIES = 50
+
+    def __init__(self, dataset, sampler: ShardedEpochSampler, seed: int = 0,
+                 prefetch: int = 4):
+        self.dataset = dataset
+        self.sampler = sampler
+        self.seed = seed
+        self.prefetch = prefetch
+
+    def _load_one(self, idx: int, rng) -> Dict:
+        last_err = None
+        for attempt in range(self.MAX_RETRIES):
+            try:
+                return self.dataset.sample(int(idx), rng)
+            except Exception as e:          # corrupt record → advance
+                last_err = e
+                idx = (int(idx) + 1) % len(self.dataset)
+        raise RuntimeError(
+            f"{self.MAX_RETRIES} consecutive corrupt samples") from last_err
+
+    def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+        indices = self.sampler.epoch_indices(epoch)
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            rng = np.random.default_rng(
+                (self.seed, epoch, self.sampler.shard))
+            try:
+                for step_idx in indices:
+                    if stop.is_set():
+                        return
+                    samples = [self._load_one(i, rng) for i in step_idx]
+                    batch = {k: np.stack([s[k] for s in samples])
+                             for k in samples[0]}
+                    q.put(batch)
+            except Exception as e:
+                q.put(e)
+            q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()

@@ -1,0 +1,124 @@
+"""The training driver: epochs over the sharded step with logging,
+checkpointing, NaN accounting, and per-epoch zero-shot eval.
+
+Cadence mirrors main_task_align.py:292-359 + 455-495: per-`log_every` step
+LR/loss/time logging, per-epoch checkpoint, optional in-training VOC mIoU.
+"""
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from segclip_tpu.config import Config
+from segclip_tpu.checkpoint.orbax_io import (auto_resume_path,
+                                             restore_checkpoint,
+                                             save_checkpoint)
+from segclip_tpu.data.pipeline import (BatchLoader, ShardedEpochSampler,
+                                       build_dataset)
+from segclip_tpu.models.segclip import init_segclip
+from segclip_tpu.parallel.mesh import make_mesh, shard_batch
+from segclip_tpu.train.optimizer import scheduled_lr
+from segclip_tpu.train.step import (create_train_state,
+                                    make_sharded_train_step)
+from segclip_tpu.utils.logging import MetricWriter, get_logger
+
+
+def train(cfg: Config, init_model: Optional[str] = None,
+          resume: bool = False, eval_fn=None) -> dict:
+    """Returns {'epochs_run', 'final_loss', 'checkpoints'}.
+
+    eval_fn(model, params) → mIoU float, called per epoch when
+    cfg.train.eval_each_epoch (injected to avoid a circular import with
+    evalseg; cli/train.py wires the VOC evaluator in).
+    """
+    logger = get_logger(cfg.train.output_dir)
+    metrics_writer = MetricWriter(cfg.train.output_dir)
+
+    dataset = build_dataset(cfg.data, use_seg=cfg.model.use_seglabel)
+    n_hosts = jax.process_count()
+    host = jax.process_index()
+    sampler = ShardedEpochSampler(len(dataset), cfg.data.batch_size,
+                                  shard=host, num_shards=n_hosts,
+                                  seed=cfg.train.seed)
+    loader = BatchLoader(dataset, sampler, seed=cfg.train.seed)
+    steps_per_epoch = sampler.steps
+    t_total = steps_per_epoch * cfg.train.epochs
+    logger.info("dataset=%s len=%d steps/epoch=%d t_total=%d",
+                cfg.data.datatype, len(dataset), steps_per_epoch, t_total)
+
+    if init_model:
+        from segclip_tpu.cli.common import load_model
+        model, params, _ = load_model(init_model, cfg.model)
+    else:
+        model, params = init_segclip(cfg.model, seed=cfg.train.seed)
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    logger.info("model parameters: %.1fM", n_params / 1e6)
+
+    state, tx = create_train_state(cfg, params, t_total=t_total,
+                                   seed=cfg.train.seed)
+    del params
+
+    start_epoch = 0
+    if resume:
+        path = cfg.train.resume or auto_resume_path(cfg.train.output_dir)
+        if path:
+            state, last_epoch = restore_checkpoint(path, state)
+            start_epoch = last_epoch + 1
+            logger.info("resumed from %s → epoch %d", path, start_epoch)
+
+    mesh = make_mesh(cfg.train.data_parallelism)
+    step_fn = make_sharded_train_step(mesh, model, tx,
+                                      max_grad_norm=cfg.optim.max_grad_norm)
+
+    ckpts = []
+    final_loss = float("nan")
+    for epoch in range(start_epoch, cfg.train.epochs):
+        t_start = time.time()
+        window_start = time.time()
+        epoch_loss, n_steps, n_skipped = 0.0, 0, 0
+
+        for batch in loader.epoch(epoch):
+            state, metrics = step_fn(state, shard_batch(mesh, batch))
+            gstep = int(state.step)
+            if gstep % cfg.train.log_every == 0:
+                loss = float(metrics["loss"])          # host fetch = sync
+                lr = float(scheduled_lr(
+                    state.opt_state.step, cfg.optim.lr, t_total,
+                    cfg.optim.warmup_proportion, cfg.optim.schedule,
+                    cfg.optim.lr_start, cfg.optim.lr_end))
+                dt = (time.time() - window_start) / cfg.train.log_every
+                window_start = time.time()
+                logger.info(
+                    "Epoch %d/%d Step %d/%d Lr %.9f Loss %f Time/step %.3f",
+                    epoch + 1, cfg.train.epochs, n_steps + 1,
+                    steps_per_epoch, lr, loss, dt)
+                metrics_writer.write(gstep, epoch=epoch, lr=lr,
+                                     **{k: float(v)
+                                        for k, v in metrics.items()})
+            n_steps += 1
+
+        # epoch summary (sync once)
+        final_loss = float(metrics["loss"])
+        n_skipped = int(float(metrics["skipped_nan"]))
+        logger.info("Epoch %d done in %.1fs, last loss %f",
+                    epoch + 1, time.time() - t_start, final_loss)
+
+        if host == 0:
+            path = save_checkpoint(cfg.train.output_dir, epoch, state)
+            ckpts.append(path)
+            logger.info("checkpoint saved to %s", path)
+
+        if eval_fn is not None and cfg.train.eval_each_epoch and host == 0:
+            try:
+                miou = eval_fn(model, state.params)
+                logger.info("Epoch %d zero-shot mIoU: %.2f", epoch + 1, miou)
+                metrics_writer.write(int(state.step), epoch=epoch, miou=miou)
+            except Exception as e:           # eval must not kill training
+                logger.warning("per-epoch eval failed: %s", e)
+
+    return {"epochs_run": cfg.train.epochs - start_epoch,
+            "final_loss": final_loss, "checkpoints": ckpts,
+            "state": state, "model": model}

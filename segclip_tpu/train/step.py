@@ -49,8 +49,11 @@ def create_train_state(cfg: Config, params: Any, t_total: int,
                      schedule=cfg.optim.schedule, b1=cfg.optim.b1,
                      b2=cfg.optim.b2, eps=cfg.optim.eps,
                      lr_start=cfg.optim.lr_start, lr_end=cfg.optim.lr_end)
+    # jit the optimizer init: eager zeros_like would dispatch one remote
+    # compile per distinct tensor shape on tunneled backends.
+    opt_state = jax.jit(tx.init)(params)
     state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
-                       opt_state=tx.init(params),
+                       opt_state=opt_state,
                        rng=jax.random.key(seed))
     return state, tx
 
