@@ -100,6 +100,49 @@ def cmd_superpixels(args):
     logger.info("wrote %s", out)
 
 
+# COCO-Stuff 0-indexed labelmap ids that are absent among the 91 thing slots
+# (the 11 COCO category ids never annotated); the remaining 80 thing ids map
+# to trainIds 1..80, stuff (>90) and unlabeled (255) map to background 0 —
+# the reference's clsID_to_trID table + shift
+# (preprocess/COCO/convert_coco_object4val.py:26-206) generated
+# programmatically.
+_COCO_MISSING_THING_IDS = {11, 25, 28, 29, 44, 65, 67, 68, 70, 82, 90}
+
+
+def coco_object_trainid_table() -> np.ndarray:
+    table = np.zeros(256, np.uint8)           # default: background 0
+    next_tr = 1
+    for cls in range(91):
+        if cls in _COCO_MISSING_THING_IDS:
+            continue
+        table[cls] = next_tr
+        next_tr += 1
+    assert next_tr == 81
+    return table
+
+
+def cmd_coco_gt(args):
+    """COCO-Stuff val2017 labelmaps → 81-class *_instanceTrainIds.png."""
+    import glob
+    logger = get_logger()
+    ann_dir = os.path.join(args.coco_path, "annotations", "val2017")
+    out_dir = os.path.join(args.out_dir or args.coco_path, "annotations",
+                           "val2017")
+    os.makedirs(out_dir, exist_ok=True)
+    table = coco_object_trainid_table()
+    files = [f for f in glob.glob(os.path.join(ann_dir, "*.png"))
+             if "TrainIds" not in f]
+    for i, path in enumerate(sorted(files)):
+        mask = np.asarray(Image.open(path))
+        out = table[mask]
+        stem = os.path.basename(path).split(".")[0]
+        Image.fromarray(out).save(
+            os.path.join(out_dir, f"{stem}_instanceTrainIds.png"), "PNG")
+        if (i + 1) % 1000 == 0:
+            logger.info("converted %d/%d", i + 1, len(files))
+    logger.info("converted %d masks → %s", len(files), out_dir)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -123,6 +166,12 @@ def main(argv=None):
     p.add_argument("--sigma", type=float, default=0.9)
     p.add_argument("--min-size", type=int, default=224)
     p.set_defaults(fn=cmd_superpixels)
+
+    p = sub.add_parser("coco-gt")
+    p.add_argument("--coco-path", required=True,
+                   help="coco_stuff164k root with annotations/val2017")
+    p.add_argument("--out-dir", default=None)
+    p.set_defaults(fn=cmd_coco_gt)
 
     args = ap.parse_args(argv)
     args.fn(args)

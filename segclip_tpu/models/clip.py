@@ -55,6 +55,7 @@ class VisualTower(nn.Module):
     tau: float = 0.9
     compute_dtype: jnp.dtype = jnp.bfloat16
     attention_impl: str = "xla"
+    remat: bool = False
 
     def setup(self):
         scale = self.width ** -0.5
@@ -76,7 +77,7 @@ class VisualTower(nn.Module):
             first_stage_layer=self.first_stage_layer,
             group_num=self.group_num, cross_layer=self.cross_layer,
             tau=self.tau, compute_dtype=self.compute_dtype,
-            attention_impl=self.attention_impl)
+            attention_impl=self.attention_impl, remat=self.remat)
         self.ln_post = LayerNormFP32()
         self.proj = self.param("proj", nn.initializers.normal(scale),
                                (self.width, self.output_dim), jnp.float32)
@@ -130,11 +131,14 @@ class TextTransformer(nn.Module):
     layers: int
     compute_dtype: jnp.dtype = jnp.bfloat16
     attention_impl: str = "xla"
+    remat: bool = False
 
     def setup(self):
+        Block = (nn.remat(ResidualAttentionBlock) if self.remat
+                 else ResidualAttentionBlock)
         heads = self.width // 64
         self.resblocks = [
-            ResidualAttentionBlock(self.width, heads,
+            Block(self.width, heads,
                                    compute_dtype=self.compute_dtype,
                                    attention_impl=self.attention_impl,
                                    name=f"resblocks_{i}")
@@ -169,6 +173,7 @@ class CLIPModule(nn.Module):
     tau: float = 0.9
     compute_dtype: jnp.dtype = jnp.bfloat16
     attention_impl: str = "xla"
+    remat: bool = False
 
     def setup(self):
         self.visual = VisualTower(
@@ -177,11 +182,11 @@ class CLIPModule(nn.Module):
             output_dim=self.embed_dim, first_stage_layer=self.first_stage_layer,
             group_num=self.group_num, cross_layer=self.cross_layer,
             tau=self.tau, compute_dtype=self.compute_dtype,
-            attention_impl=self.attention_impl)
+            attention_impl=self.attention_impl, remat=self.remat)
         self.transformer = TextTransformer(
             self.transformer_width, self.transformer_layers,
             compute_dtype=self.compute_dtype,
-            attention_impl=self.attention_impl)
+            attention_impl=self.attention_impl, remat=self.remat)
         self.token_embedding = nn.Embed(
             self.vocab_size, self.transformer_width,
             embedding_init=nn.initializers.normal(0.02),

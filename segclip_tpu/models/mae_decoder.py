@@ -93,15 +93,17 @@ class _DecoderCore(nn.Module):
     heads: int
     ln_eps: float
     compute_dtype: jnp.dtype = jnp.bfloat16
+    remat: bool = False
 
     def setup(self):
+        Block = nn.remat(MAEBlock) if self.remat else MAEBlock
         self.decoder_embed = nn.Dense(self.dec_dim, kernel_init=xavier_uniform,
                                       dtype=self.compute_dtype,
                                       param_dtype=jnp.float32)
         self.mask_token = self.param("mask_token",
                                      nn.initializers.normal(0.02),
                                      (1, 1, self.dec_dim), jnp.float32)
-        self.blocks = [MAEBlock(self.dec_dim, self.heads, ln_eps=self.ln_eps,
+        self.blocks = [Block(self.dec_dim, self.heads, ln_eps=self.ln_eps,
                                 compute_dtype=self.compute_dtype,
                                 name=f"blocks_{i}")
                        for i in range(self.depth)]
@@ -126,11 +128,13 @@ class VisionMAEDecoder(nn.Module):
     depth: int = 3
     heads: int = 8
     compute_dtype: jnp.dtype = jnp.bfloat16
+    remat: bool = False
 
     def setup(self):
         self.core = _DecoderCore(self.in_dim, self.dec_dim, self.depth,
                                  self.heads, ln_eps=1e-6,
-                                 compute_dtype=self.compute_dtype)
+                                 compute_dtype=self.compute_dtype,
+                                 remat=self.remat)
         self.decoder_pred = nn.Dense(self.patch_size ** 2 * 3,
                                      kernel_init=xavier_uniform,
                                      dtype=self.compute_dtype,
@@ -170,11 +174,13 @@ class TextMAEDecoder(nn.Module):
     depth: int = 3
     heads: int = 8
     compute_dtype: jnp.dtype = jnp.bfloat16
+    remat: bool = False
 
     def setup(self):
         self.core = _DecoderCore(self.in_dim, self.dec_dim, self.depth,
                                  self.heads, ln_eps=1e-5,
-                                 compute_dtype=self.compute_dtype)
+                                 compute_dtype=self.compute_dtype,
+                                 remat=self.remat)
         self.decoder_pred = nn.Dense(self.vocab_size,
                                      kernel_init=xavier_uniform,
                                      dtype=self.compute_dtype,

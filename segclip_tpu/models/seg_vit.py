@@ -159,12 +159,15 @@ class SegViT(nn.Module):
     tau: float = 0.9
     compute_dtype: jnp.dtype = jnp.bfloat16
     attention_impl: str = "xla"
+    remat: bool = False
 
     def setup(self):
+        Block = (nn.remat(ResidualAttentionBlock) if self.remat
+                 else ResidualAttentionBlock)
         heads = self.width // 64
         second = self.layers - self.first_stage_layer
         self.layers0 = [
-            ResidualAttentionBlock(self.width, heads,
+            Block(self.width, heads,
                                    compute_dtype=self.compute_dtype,
                                    attention_impl=self.attention_impl,
                                    name=f"layers0_{i}")
@@ -175,14 +178,14 @@ class SegViT(nn.Module):
             tau=self.tau, compute_dtype=self.compute_dtype,
             attention_impl=self.attention_impl)
         self.layers2 = [
-            ResidualAttentionBlock(self.width, heads,
+            Block(self.width, heads,
                                    compute_dtype=self.compute_dtype,
                                    attention_impl=self.attention_impl,
                                    name=f"layers2_{i}")
             for i in range(second)
         ]
         self.layers_mae2 = [
-            ResidualAttentionBlock(self.width, heads,
+            Block(self.width, heads,
                                    compute_dtype=self.compute_dtype,
                                    attention_impl=self.attention_impl,
                                    name=f"layers_mae2_{i}")

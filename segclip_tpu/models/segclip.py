@@ -96,19 +96,21 @@ class SegCLIP(nn.Module):
             transformer_layers=c.transformer_layers,
             first_stage_layer=c.first_stage_layer, group_num=c.group_num,
             cross_layer=c.cross_layer, tau=c.gumbel_tau,
-            compute_dtype=dtype, attention_impl=c.attention_impl)
+            compute_dtype=dtype, attention_impl=c.attention_impl,
+            remat=c.remat)
         if c.use_vision_mae_recon:
             self.vis_mae_decoder = VisionMAEDecoder(
                 in_dim=c.vision_width, dec_dim=c.vision_width // 2,
                 image_resolution=c.image_resolution,
                 patch_size=c.vision_patch_size, depth=c.mae_decoder_depth,
-                heads=c.mae_decoder_num_heads, compute_dtype=dtype)
+                heads=c.mae_decoder_num_heads, compute_dtype=dtype,
+                remat=c.remat)
         if c.use_text_mae_recon:
             self.seq_mae_decoder = TextMAEDecoder(
                 in_dim=c.embed_dim, dec_dim=c.embed_dim // 2,
                 seq_len=c.max_words, vocab_size=c.vocab_size,
                 depth=c.mae_decoder_depth, heads=c.mae_decoder_num_heads,
-                compute_dtype=dtype)
+                compute_dtype=dtype, remat=c.remat)
 
     def encode_image(self, image, **kw):
         return self.clip.encode_image(image, **kw)

@@ -128,7 +128,9 @@ def make_sharded_train_step(mesh: Mesh, model: SegCLIP, tx,
         in_specs=(P(), P(DATA_AXIS)),
         out_specs=(P(), P()),
         check_vma=False)
-    return jax.jit(sharded)
+    # Donate the state: params + both Adam moments (~1.8 GB fp32 at ViT-B)
+    # update in place instead of double-buffering.
+    return jax.jit(sharded, donate_argnums=(0,))
 
 
 def make_single_device_train_step(model: SegCLIP, tx,

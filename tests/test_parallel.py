@@ -101,6 +101,7 @@ def tiny_train_setup():
 
 def test_sharded_train_step_runs_and_improves(tiny_train_setup):
     cfg, model, state, tx = tiny_train_setup
+    state = jax.tree.map(jnp.copy, state)   # steps donate their input
     mesh = make_mesh()
     step = make_sharded_train_step(mesh, model, tx)
     batch = shard_batch(mesh, _batch(16))
@@ -124,13 +125,16 @@ def test_sharded_matches_single_device_step(tiny_train_setup):
     mesh = make_mesh()
     batch_np = _batch(16)
 
+    # donate_argnums consumes the state — give each step its own copy
+    state_a = jax.tree.map(jnp.copy, state)
+    state_b = jax.tree.map(jnp.copy, state)
     sharded = make_sharded_train_step(mesh, model, tx)
-    st_a, m_a = sharded(state, shard_batch(mesh, batch_np))
+    st_a, m_a = sharded(state_a, shard_batch(mesh, batch_np))
 
     # Single device: replicate semantics with axis-size-1 mesh over 1 device
     mesh1 = make_mesh(1)
     single = make_sharded_train_step(mesh1, model, tx)
-    st_b, m_b = single(state, shard_batch(mesh1, batch_np))
+    st_b, m_b = single(state_b, shard_batch(mesh1, batch_np))
 
     # Losses differ only through rng folding by axis_index & shard-local
     # Gumbel draws; the *contrastive* loss on identical features pre-noise
@@ -149,13 +153,17 @@ def test_nan_batch_skips_step(tiny_train_setup):
     step = make_sharded_train_step(mesh, model, tx)
     bad = _batch(16)
     bad["image"] = np.full_like(bad["image"], np.nan)
-    new_state, metrics = step(state, shard_batch(mesh, bad))
+    # snapshot before the (donating) step consumes the buffers
+    before_param = np.asarray(jax.tree.leaves(state.params)[0])
+    before_step = int(state.step)
+    before_opt_step = int(state.opt_state.step)
+    new_state, metrics = step(jax.tree.map(jnp.copy, state),
+                              shard_batch(mesh, bad))
     assert float(metrics["skipped_nan"]) == 1.0
     # params untouched
-    a = jax.tree.leaves(state.params)[0]
     b = jax.tree.leaves(new_state.params)[0]
-    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(before_param, np.asarray(b))
     # step counter still advances (it's the batch counter, not the optimizer
     # schedule — the opt_state step stayed put)
-    assert int(new_state.step) == int(state.step) + 1
-    assert int(new_state.opt_state.step) == int(state.opt_state.step)
+    assert int(new_state.step) == before_step + 1
+    assert int(new_state.opt_state.step) == before_opt_step
