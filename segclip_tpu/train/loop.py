@@ -70,8 +70,9 @@ def train(cfg: Config, init_model: Optional[str] = None,
             logger.info("resumed from %s → epoch %d", path, start_epoch)
 
     mesh = make_mesh(cfg.train.data_parallelism)
-    step_fn = make_sharded_train_step(mesh, model, tx,
-                                      max_grad_norm=cfg.optim.max_grad_norm)
+    step_fn = make_sharded_train_step(
+        mesh, model, tx, max_grad_norm=cfg.optim.max_grad_norm,
+        grad_accum_steps=cfg.train.grad_accum_steps)
 
     ckpts = []
     final_loss = float("nan")

@@ -68,19 +68,50 @@ def _loss_fn(params, model: SegCLIP, batch, rngs, axis_name):
 
 def train_step_fn(state: TrainState, batch: dict, model: SegCLIP, tx,
                   max_grad_norm: float = 1.0,
-                  axis_name: Optional[str] = DATA_AXIS):
+                  axis_name: Optional[str] = DATA_AXIS,
+                  grad_accum_steps: int = 1):
     """One optimizer step. Runs replicated under shard_map (or single-device
-    when axis_name is None)."""
+    when axis_name is None). With grad_accum_steps > 1 the per-shard batch is
+    split into micro-batches scanned sequentially, gradients averaged before
+    the update (reference main_task_align.py:315-341 semantics)."""
     step_rng = jax.random.fold_in(state.rng, state.step)
     if axis_name is not None:
         # decorrelate Gumbel/MAE noise across shards
         step_rng = jax.random.fold_in(step_rng, jax.lax.axis_index(axis_name))
-    g_rng, m_rng = jax.random.split(step_rng)
-    rngs = {"gumbel": g_rng, "mae": m_rng}
 
     grad_fn = jax.value_and_grad(_loss_fn, has_aux=True)
-    (loss, losses), grads = grad_fn(state.params, model, batch, rngs,
-                                    axis_name)
+
+    if grad_accum_steps == 1:
+        g_rng, m_rng = jax.random.split(step_rng)
+        rngs = {"gumbel": g_rng, "mae": m_rng}
+        (loss, losses), grads = grad_fn(state.params, model, batch, rngs,
+                                        axis_name)
+    else:
+        def split_micro(x):
+            b = x.shape[0]
+            assert b % grad_accum_steps == 0, (b, grad_accum_steps)
+            return x.reshape((grad_accum_steps, b // grad_accum_steps)
+                             + x.shape[1:])
+
+        micro_batches = jax.tree.map(split_micro, batch)
+        zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+
+        def body(carry, inp):
+            acc_grads, idx = carry
+            mb = inp
+            r = jax.random.fold_in(step_rng, idx)
+            g_rng, m_rng = jax.random.split(r)
+            (_, losses_i), grads_i = grad_fn(
+                state.params, model, mb, {"gumbel": g_rng, "mae": m_rng},
+                axis_name)
+            acc_grads = jax.tree.map(jnp.add, acc_grads, grads_i)
+            return (acc_grads, idx + 1), losses_i
+
+        (grads, _), losses_all = jax.lax.scan(
+            body, (zero_grads, jnp.int32(0)), micro_batches)
+        grads = jax.tree.map(lambda g: g / grad_accum_steps, grads)
+        losses = jax.tree.map(lambda x: jnp.mean(x, axis=0), losses_all)
+        loss = losses["loss"]
 
     if axis_name is not None:
         grads = jax.lax.pmean(grads, axis_name)
@@ -119,10 +150,12 @@ def train_step_fn(state: TrainState, batch: dict, model: SegCLIP, tx,
 
 
 def make_sharded_train_step(mesh: Mesh, model: SegCLIP, tx,
-                            max_grad_norm: float = 1.0):
+                            max_grad_norm: float = 1.0,
+                            grad_accum_steps: int = 1):
     """jit(shard_map(train_step)): batch sharded on `data`, state replicated."""
     fn = functools.partial(train_step_fn, model=model, tx=tx,
-                           max_grad_norm=max_grad_norm, axis_name=DATA_AXIS)
+                           max_grad_norm=max_grad_norm, axis_name=DATA_AXIS,
+                           grad_accum_steps=grad_accum_steps)
     sharded = shard_map(
         fn, mesh=mesh,
         in_specs=(P(), P(DATA_AXIS)),
@@ -134,7 +167,9 @@ def make_sharded_train_step(mesh: Mesh, model: SegCLIP, tx,
 
 
 def make_single_device_train_step(model: SegCLIP, tx,
-                                  max_grad_norm: float = 1.0):
+                                  max_grad_norm: float = 1.0,
+                                  grad_accum_steps: int = 1):
     fn = functools.partial(train_step_fn, model=model, tx=tx,
-                           max_grad_norm=max_grad_norm, axis_name=None)
+                           max_grad_norm=max_grad_norm, axis_name=None,
+                           grad_accum_steps=grad_accum_steps)
     return jax.jit(fn)

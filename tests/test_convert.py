@@ -226,3 +226,41 @@ def test_merge_reports_missing_for_partial_checkpoint():
     # random weight survived
     sl = merged["clip"]["visual"]["transformer"]["semantic_layer2"]
     assert np.asarray(sl["semantic_center"]).std() > 0
+
+
+def test_export_roundtrip():
+    """synthetic reference sd → flax params → exported sd: every tensor
+    identical (covers all transposes and the grouped-conv reshape)."""
+    from segclip_tpu.checkpoint.torch_export import export_state_dict
+    _, init_params = init_segclip(TINY, seed=0)
+    sd = _synth_reference_state_dict(TINY)
+    converted = convert_state_dict(sd, TINY)
+    merged = merge_params(init_params, converted)
+    exported = export_state_dict(merged,
+                                 vision_patch_size=TINY.vision_patch_size)
+    surgered = {("clip." + k if not k.startswith(("vis_mae", "seq_mae"))
+                 else k): v
+                for k, v in __import__("segclip_tpu.checkpoint.torch_convert",
+                                       fromlist=["apply_layer_surgery"]
+                                       ).apply_layer_surgery(
+                    sd, TINY.first_stage_layer).items()}
+    missing = sorted(set(surgered) - set(exported))
+    extra = sorted(set(exported) - set(surgered))
+    assert not missing, missing[:8]
+    assert not extra, extra[:8]
+    for k in surgered:
+        np.testing.assert_allclose(exported[k], surgered[k], atol=1e-6,
+                                   err_msg=k)
+
+
+def test_save_torch_checkpoint_loads_back(tmp_path):
+    from segclip_tpu.checkpoint.torch_export import save_torch_checkpoint
+    from segclip_tpu.checkpoint.torch_convert import load_torch_state_dict
+    _, params = init_segclip(TINY, seed=0)
+    path = str(tmp_path / "export.bin")
+    save_torch_checkpoint(path, params,
+                          vision_patch_size=TINY.vision_patch_size)
+    sd = load_torch_state_dict(path)
+    assert "clip.visual.conv1.weight" in sd
+    assert sd["clip.visual.conv1.weight"].shape == (
+        TINY.vision_width, 3, TINY.vision_patch_size, TINY.vision_patch_size)
