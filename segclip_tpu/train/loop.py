@@ -79,7 +79,7 @@ def train(cfg: Config, init_model: Optional[str] = None,
     for epoch in range(start_epoch, cfg.train.epochs):
         t_start = time.time()
         window_start = time.time()
-        epoch_loss, n_steps, n_skipped = 0.0, 0, 0
+        n_steps = 0
 
         for batch in loader.epoch(epoch):
             state, metrics = step_fn(state, shard_batch(mesh, batch))
@@ -103,7 +103,6 @@ def train(cfg: Config, init_model: Optional[str] = None,
 
         # epoch summary (sync once)
         final_loss = float(metrics["loss"])
-        n_skipped = int(float(metrics["skipped_nan"]))
         logger.info("Epoch %d done in %.1fs, last loss %f",
                     epoch + 1, time.time() - t_start, final_loss)
 
