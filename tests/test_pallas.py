@@ -97,3 +97,45 @@ def test_full_model_with_pallas_attention():
                                                               training=False))
     np.testing.assert_allclose(np.asarray(out_p.pooled),
                                np.asarray(out_x.pooled), atol=1e-4)
+
+
+def test_fused_grouping_eval_matches_reference_path():
+    from segclip_tpu.ops.pallas.grouping import fused_group_assign
+    from segclip_tpu.ops.grouping import group_assign_aggregate
+    B, G, L, D = 2, 4, 19, 16
+    q = jnp.asarray(RNG.normal(size=(B, G, D)).astype(np.float32))
+    k = jnp.asarray(RNG.normal(size=(B, L, D)).astype(np.float32))
+    v = jnp.asarray(RNG.normal(size=(B, L, D)).astype(np.float32))
+
+    out, hard, soft = fused_group_assign(q, k, v, tau=0.9, training=False)
+
+    logits = jnp.einsum("bgd,bld->bgl", q, k)
+    out_ref, hard_ref, soft_ref = group_assign_aggregate(
+        logits, v, tau=0.9, training=False)
+
+    np.testing.assert_allclose(np.asarray(hard), np.asarray(hard_ref),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(soft), np.asarray(soft_ref),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref),
+                               atol=1e-4)
+
+
+def test_fused_grouping_training_valid_distribution():
+    from segclip_tpu.ops.pallas.grouping import fused_group_assign
+    B, G, L, D = 2, 4, 16, 8
+    q = jnp.asarray(RNG.normal(size=(B, G, D)).astype(np.float32))
+    k = jnp.asarray(RNG.normal(size=(B, L, D)).astype(np.float32))
+    v = jnp.asarray(RNG.normal(size=(B, L, D)).astype(np.float32))
+    out, hard, soft = fused_group_assign(q, k, v, tau=0.9, training=True,
+                                         seed=jnp.asarray(42, jnp.int32))
+    h = np.asarray(hard)
+    np.testing.assert_allclose(h.sum(1), np.ones((B, L)), atol=1e-6)
+    assert ((h == 0) | (h == 1)).all()
+    # Gumbel noise must change assignments vs eval at least somewhere
+    _, h_eval, _ = fused_group_assign(q, k, v, tau=0.9, training=False)
+    assert not np.array_equal(h, np.asarray(h_eval))
+    # different seed → different draw
+    _, h2, _ = fused_group_assign(q, k, v, tau=0.9, training=True,
+                                  seed=jnp.asarray(43, jnp.int32))
+    assert not np.array_equal(h, np.asarray(h2))
