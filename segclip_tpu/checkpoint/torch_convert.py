@@ -47,9 +47,12 @@ def infer_model_config(sd: Mapping[str, np.ndarray],
     sd = strip_prefix(sd)
     vision_width = sd["visual.conv1.weight"].shape[0]
     vision_patch_size = sd["visual.conv1.weight"].shape[-1]
-    vision_layers = len([k for k in sd
-                         if k.startswith("visual.")
-                         and k.endswith(".attn.in_proj_weight")])
+    # Count only tower blocks: a SegCLIP-format dict also contains
+    # semantic_layer2.cross_att.* and layers_mae2.* attention weights which
+    # must NOT count toward the 12-layer depth.
+    tower = re.compile(r"^visual\.transformer\.(resblocks|layers0|layers2)"
+                       r"\.\d+\.attn\.in_proj_weight$")
+    vision_layers = sum(1 for k in sd if tower.match(k))
     grid = round((sd["visual.positional_embedding"].shape[0] - 1) ** 0.5)
     kw = dict(
         image_resolution=vision_patch_size * grid,

@@ -79,12 +79,15 @@ class PairRecordDataset:
         img = Image.open(io.BytesIO(jpeg)).convert("RGB")
 
         arr, coord = random_resized_crop_coord(img, self.image_size, rng)
+        from segclip_tpu.data.tokenizer import tokenize_with_mask
+        ids, mask = tokenize_with_mask(self.tokenizer, caption,
+                                       self.max_words)
         out = {
-            "input_ids": self.tokenizer.tokenize(caption, self.max_words),
+            "input_ids": ids,
+            "attention_mask": mask,
             "image": clip_normalize(arr),
             "coord": coord,
         }
-        out["attention_mask"] = (out["input_ids"] != 0).astype(np.int32)
 
         if self.seg is not None:
             seg_full = decode_seg_map(self.seg.get(key))
@@ -212,6 +215,18 @@ class BatchLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            """Bounded put that re-checks `stop` — an abandoned consumer
+            must not leave the producer blocked on a full queue holding
+            decoded batches."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             rng = np.random.default_rng(
                 (self.seed, epoch, self.sampler.shard))
@@ -222,10 +237,11 @@ class BatchLoader:
                     samples = [self._load_one(i, rng) for i in step_idx]
                     batch = {k: np.stack([s[k] for s in samples])
                              for k in samples[0]}
-                    q.put(batch)
+                    if not put(batch):
+                        return
             except Exception as e:
-                q.put(e)
-            q.put(None)
+                put(e)
+            put(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()

@@ -133,11 +133,17 @@ class ClipTokenizer:
 
     def tokenize(self, text: str, context_length: int = 77) -> np.ndarray:
         """BOS + tokens (truncated) + EOS, zero-padded — one row of int32."""
+        row, _ = self.tokenize_with_length(text, context_length)
+        return row
+
+    def tokenize_with_length(self, text: str, context_length: int = 77):
+        """(row, n_real_tokens). The length — not `row != 0` — must drive
+        attention masks: BPE id 0 is a real token ('!' piece)."""
         ids = [self.bos_id] + self.encode(text)[:context_length - 2] + \
             [self.eos_id]
         row = np.zeros(context_length, np.int32)
         row[:len(ids)] = ids
-        return row
+        return row, len(ids)
 
     def batch_tokenize(self, texts: List[str],
                        context_length: int = 77) -> np.ndarray:
@@ -152,8 +158,10 @@ def default_tokenizer() -> ClipTokenizer:
 def tokenize_with_mask(tokenizer: ClipTokenizer, text: str,
                        max_words: int) -> Tuple[np.ndarray, np.ndarray]:
     """(ids, attention_mask) pair matching DatasetBase._get_text
-    (dataloader_base.py:18-49): BOS + words[:max_words-2] + EOS, zero pad."""
-    ids = tokenizer.tokenize(text, max_words)
-    mask = (ids != 0).astype(np.int32)
-    mask[0] = 1  # BOS slot (id may be nonzero anyway)
+    (dataloader_base.py:18-49): BOS + words[:max_words-2] + EOS, zero pad.
+    The mask is LENGTH-based like the reference — `ids != 0` would mask out
+    real tokens whose BPE id happens to be 0."""
+    ids, n = tokenizer.tokenize_with_length(text, max_words)
+    mask = np.zeros(max_words, np.int32)
+    mask[:n] = 1
     return ids, mask

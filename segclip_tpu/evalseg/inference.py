@@ -132,7 +132,16 @@ class ZeroShotSegmenter:
         return wins
 
     def slide(self, image: np.ndarray) -> np.ndarray:
-        """image: normalized (H, W, 3), H/W ≥ crop → class logits (C, H, W)."""
+        """image: normalized (H, W, 3) → class logits (C, H, W).
+
+        Images smaller than the crop on either side (extreme aspect ratios
+        where the 2048 long-side cap pushes the short side below 224) are
+        zero-padded to crop size, mmseg-style, and the logits cropped back.
+        """
+        h0, w0, _ = image.shape
+        if h0 < self.crop or w0 < self.crop:
+            image = np.pad(image, ((0, max(0, self.crop - h0)),
+                                   (0, max(0, self.crop - w0)), (0, 0)))
         h, w, _ = image.shape
         wins = self._windows(h, w)
         crops = np.stack([image[y1:y2, x1:x2] for y1, x1, y2, x2 in wins])
@@ -152,7 +161,7 @@ class ZeroShotSegmenter:
         for lg, (y1, x1, y2, x2) in zip(logits, wins):
             canvas[:, y1:y2, x1:x2] += lg
             count[:, y1:y2, x1:x2] += 1.0
-        return canvas / count
+        return (canvas / count)[:, :h0, :w0]
 
     def whole(self, image: np.ndarray) -> np.ndarray:
         """Whole-image mode. The encoder floors H/W to patch multiples (a

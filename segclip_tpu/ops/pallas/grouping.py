@@ -10,8 +10,9 @@ one VMEM pass per batch item producing (out, hard, soft). Gumbel noise is
 drawn inside the kernel from the TPU PRNG (pltpu.prng_*), seeded per batch
 item from a scalar-prefetch seed.
 
-Gradient: custom_vjp with the straight-through/XLA-math backward (identical
-to ops/grouping.py's autodiff), so training uses the fused forward.
+This kernel is forward-only (no custom_vjp): SemanticLearner uses it for
+the deterministic eval path; training differentiates through the jnp path
+in ops/grouping.py (straight-through estimator under autodiff).
 
 L and D are padded to lane multiples; padded patch columns are masked to
 -inf before the softmax so they never win an assignment.

@@ -38,6 +38,15 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Place a host-global batch dict onto the mesh, sharded on axis 0."""
+    """Place this host's batch shard onto the mesh, sharded on axis 0.
+
+    Single-process: the array IS the global batch → device_put. Multi-host:
+    each process holds its own rows (ShardedEpochSampler hands out disjoint
+    shards), so assemble the global array from per-process local data.
+    """
     sharding = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sharding, x),
+        batch)

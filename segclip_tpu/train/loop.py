@@ -45,6 +45,10 @@ def train(cfg: Config, init_model: Optional[str] = None,
                                   seed=cfg.train.seed)
     loader = BatchLoader(dataset, sampler, seed=cfg.train.seed)
     steps_per_epoch = sampler.steps
+    if steps_per_epoch == 0:
+        raise ValueError(
+            f"dataset of {len(dataset)} samples yields zero steps at global "
+            f"batch {cfg.data.batch_size} — reduce the batch size")
     t_total = steps_per_epoch * cfg.train.epochs
     logger.info("dataset=%s len=%d steps/epoch=%d t_total=%d",
                 cfg.data.datatype, len(dataset), steps_per_epoch, t_total)

@@ -264,3 +264,16 @@ def test_save_torch_checkpoint_loads_back(tmp_path):
     assert "clip.visual.conv1.weight" in sd
     assert sd["clip.visual.conv1.weight"].shape == (
         TINY.vision_width, 3, TINY.vision_patch_size, TINY.vision_patch_size)
+
+
+def test_infer_model_config_segclip_format_counts_only_tower_blocks():
+    """A SegCLIP-format dict contains cross_att / layers_mae2 attention
+    weights which must NOT inflate vision_layers (regression: counting all
+    visual.*.attn.in_proj_weight keys gave 16 layers for a 4-layer tower)."""
+    sd = _synth_reference_state_dict(TINY)          # raw resblocks naming
+    converted_names = apply_layer_surgery(sd, TINY.first_stage_layer)
+    cfg = infer_model_config(converted_names,
+                             first_stage_layer=TINY.first_stage_layer)
+    assert cfg.vision_layers == TINY.vision_layers
+    cfg2 = infer_model_config(sd, first_stage_layer=TINY.first_stage_layer)
+    assert cfg2.vision_layers == TINY.vision_layers

@@ -159,3 +159,13 @@ def test_voc_colormap():
     np.testing.assert_array_equal(cm[0], [0, 0, 0])
     np.testing.assert_array_equal(cm[1], [128, 0, 0])      # aeroplane
     np.testing.assert_array_equal(cm[15], [192, 128, 128])  # person
+
+
+def test_slide_pads_small_images(tiny):
+    """Extreme aspect ratios can leave the short side below the crop size;
+    slide() must pad and crop back instead of crashing (regression)."""
+    _, _, _, seg = tiny
+    img = RNG.normal(size=(20, 70, 3)).astype(np.float32)   # 20 < crop 32
+    logits = seg.slide(img)
+    assert logits.shape == (7, 20, 70)
+    assert np.isfinite(logits).all()

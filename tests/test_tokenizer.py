@@ -48,3 +48,15 @@ def test_tokenize_with_mask():
     ids, mask = tokenize_with_mask(tok, "a photo of a cat", 12)
     np.testing.assert_array_equal(mask, (ids != 0).astype(np.int32))
     assert mask.sum() == 7
+
+
+def test_mask_keeps_bpe_id_zero_tokens():
+    """BPE id 0 is the non-final '!' piece — the attention mask must be
+    length-based, not (ids != 0) (regression)."""
+    tok = default_tokenizer()
+    ids = tok.encode("wow !(")
+    assert 0 in ids, "expected the '!(' bigram to produce token id 0"
+    row, mask = tokenize_with_mask(tok, "wow !(", 12)
+    n = 2 + len(ids)            # BOS + tokens + EOS
+    np.testing.assert_array_equal(mask[:n], np.ones(n, np.int32))
+    np.testing.assert_array_equal(mask[n:], np.zeros(12 - n, np.int32))
