@@ -83,6 +83,55 @@ def cmd_pack(args):
     logger.info("done: %d packed, %d missing → %s", n_ok, n_missing, out_img)
 
 
+def cmd_pack_tars(args):
+    """webdataset-style tar shards (xxx.jpg + xxx.txt members) → SGR shards
+    (preprocess/GCC3M/extraxt_images_from_tar.py + generate_lmdb_from_pickles
+    equivalents, collapsed into one pass)."""
+    import glob
+    import tarfile
+    logger = get_logger()
+    out_img = os.path.join(args.out_dir, f"{args.name}_images.sgr")
+    out_cap = os.path.join(args.out_dir, f"{args.name}_captions.sgr")
+    tars = sorted(glob.glob(os.path.join(args.tar_dir, "*.tar")))
+    if not tars:
+        raise SystemExit(f"no .tar files under {args.tar_dir}")
+    n_ok, n_bad = 0, 0
+    with SgrWriter(out_img) as wi, SgrWriter(out_cap) as wc:
+        for tar_path in tars:
+            pending: dict = {}
+            with tarfile.open(tar_path) as tf:
+                for member in tf:
+                    if not member.isfile():
+                        continue
+                    stem, ext = os.path.splitext(member.name)
+                    if ext not in (".jpg", ".jpeg", ".png", ".txt"):
+                        continue
+                    data = tf.extractfile(member).read()
+                    slot = pending.setdefault(stem, {})
+                    slot["caption" if ext == ".txt" else "image"] = data
+                    if "caption" in slot and "image" in slot:
+                        try:
+                            img = Image.open(io.BytesIO(slot["image"]))
+                            img = resize_short_side(img.convert("RGB"),
+                                                    args.short_side)
+                            buf = io.BytesIO()
+                            img.save(buf, format="JPEG",
+                                     quality=args.quality)
+                            key = f"{os.path.basename(tar_path)}/{stem}"
+                            wi.add(key, buf.getvalue())
+                            caption = slot["caption"].decode(
+                                "utf-8", errors="replace").strip()
+                            wc.add(key, json.dumps([caption]).encode())
+                            n_ok += 1
+                        except Exception as e:
+                            n_bad += 1
+                            logger.warning("skip %s: %s", stem, e)
+                        del pending[stem]
+            logger.info("%s done (%d packed, %d bad so far)",
+                        os.path.basename(tar_path), n_ok, n_bad)
+    logger.info("packed %d pairs → %s", n_ok, out_img)
+
+
 def cmd_superpixels(args):
     logger = get_logger()
     images = SgrReader(os.path.join(args.data_dir,
@@ -158,6 +207,15 @@ def main(argv=None):
     p.add_argument("--short-side", type=int, default=224)
     p.add_argument("--quality", type=int, default=90)
     p.set_defaults(fn=cmd_pack)
+
+    p = sub.add_parser("pack-tars")
+    p.add_argument("--name", required=True)
+    p.add_argument("--tar-dir", required=True,
+                   help="directory of webdataset .tar shards")
+    p.add_argument("--out-dir", required=True)
+    p.add_argument("--short-side", type=int, default=224)
+    p.add_argument("--quality", type=int, default=90)
+    p.set_defaults(fn=cmd_pack_tars)
 
     p = sub.add_parser("superpixels")
     p.add_argument("--name", required=True)

@@ -50,8 +50,11 @@ class PairRecordDataset:
         self.captions = SgrReader(
             os.path.join(data_dir, f"{name}_captions.sgr"))
         seg_path = os.path.join(data_dir, f"{name}_seg.sgr")
-        self.seg = SgrReader(seg_path) if (use_seg and
-                                           os.path.exists(seg_path)) else None
+        if use_seg and not os.path.exists(seg_path):
+            raise FileNotFoundError(
+                f"use_seglabel requires {seg_path} — run "
+                f"`prepare_data superpixels --name {name}` first")
+        self.seg = SgrReader(seg_path) if use_seg else None
         self.max_words = max_words
         self.image_size = image_size
         self.patch_size = patch_size
