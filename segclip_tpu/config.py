@@ -54,6 +54,9 @@ class ModelConfig:
     # Kernel selection: "xla" uses jnp einsum/softmax; "pallas" uses the fused
     # TPU kernels in ops/pallas.
     attention_impl: str = "xla"
+    # "auto" uses the fused Pallas grouping kernel for eval on TPU, the jnp
+    # path elsewhere; "jnp" forces the reference path, "pallas" forces fused.
+    grouping_impl: str = "auto"
     # Rematerialize transformer blocks in the backward pass (trades ~30%
     # FLOPs for activation memory — enables much larger per-chip batches).
     remat: bool = False

@@ -56,6 +56,7 @@ class VisualTower(nn.Module):
     compute_dtype: jnp.dtype = jnp.bfloat16
     attention_impl: str = "xla"
     remat: bool = False
+    grouping_impl: str = "auto"
 
     def setup(self):
         scale = self.width ** -0.5
@@ -77,7 +78,8 @@ class VisualTower(nn.Module):
             first_stage_layer=self.first_stage_layer,
             group_num=self.group_num, cross_layer=self.cross_layer,
             tau=self.tau, compute_dtype=self.compute_dtype,
-            attention_impl=self.attention_impl, remat=self.remat)
+            attention_impl=self.attention_impl, remat=self.remat,
+            grouping_impl=self.grouping_impl)
         self.ln_post = LayerNormFP32()
         self.proj = self.param("proj", nn.initializers.normal(scale),
                                (self.width, self.output_dim), jnp.float32)
@@ -174,6 +176,7 @@ class CLIPModule(nn.Module):
     compute_dtype: jnp.dtype = jnp.bfloat16
     attention_impl: str = "xla"
     remat: bool = False
+    grouping_impl: str = "auto"
 
     def setup(self):
         self.visual = VisualTower(
@@ -182,7 +185,8 @@ class CLIPModule(nn.Module):
             output_dim=self.embed_dim, first_stage_layer=self.first_stage_layer,
             group_num=self.group_num, cross_layer=self.cross_layer,
             tau=self.tau, compute_dtype=self.compute_dtype,
-            attention_impl=self.attention_impl, remat=self.remat)
+            attention_impl=self.attention_impl, remat=self.remat,
+            grouping_impl=self.grouping_impl)
         self.transformer = TextTransformer(
             self.transformer_width, self.transformer_layers,
             compute_dtype=self.compute_dtype,

@@ -171,6 +171,7 @@ class SegViT(nn.Module):
     compute_dtype: jnp.dtype = jnp.bfloat16
     attention_impl: str = "xla"
     remat: bool = False
+    grouping_impl: str = "auto"
 
     def setup(self):
         Block = (nn.remat(ResidualAttentionBlock) if self.remat
@@ -187,7 +188,8 @@ class SegViT(nn.Module):
         self.semantic_layer2 = SemanticLearner(
             self.width, self.group_num, heads, cross_layer=self.cross_layer,
             tau=self.tau, compute_dtype=self.compute_dtype,
-            attention_impl=self.attention_impl)
+            attention_impl=self.attention_impl,
+            grouping_impl=self.grouping_impl)
         self.layers2 = [
             Block(self.width, heads,
                                    compute_dtype=self.compute_dtype,

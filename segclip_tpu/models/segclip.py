@@ -97,7 +97,7 @@ class SegCLIP(nn.Module):
             first_stage_layer=c.first_stage_layer, group_num=c.group_num,
             cross_layer=c.cross_layer, tau=c.gumbel_tau,
             compute_dtype=dtype, attention_impl=c.attention_impl,
-            remat=c.remat)
+            remat=c.remat, grouping_impl=c.grouping_impl)
         if c.use_vision_mae_recon:
             self.vis_mae_decoder = VisionMAEDecoder(
                 in_dim=c.vision_width, dec_dim=c.vision_width // 2,
