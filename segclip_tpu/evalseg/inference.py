@@ -195,19 +195,76 @@ class ZeroShotSegmenter:
                                   jnp.asarray(image[None, :hf, :wf])))[0]
         return attn.argmax(axis=-1).astype(np.int32)
 
+    def _resize_argmax(self, c: int, h: int, w: int, oh: int, ow: int):
+        """Jitted on-device bilinear upsample + argmax (the host-numpy
+        version cost ~1 s/image on this machine's single core)."""
+        key = ("resize", c, h, w, oh, ow)
+        if key not in self._jitted:
+            mh = jnp.asarray(interp_matrix(h, oh, "linear"))
+            mw = jnp.asarray(interp_matrix(w, ow, "linear"))
+
+            @jax.jit
+            def fn(logits):
+                up = jnp.einsum("oh,chw->cow", mh, logits)
+                up = jnp.einsum("pw,cow->cop", mw, up)
+                return jnp.argmax(up, axis=0).astype(jnp.int32)
+
+            self._jitted[key] = fn
+        return self._jitted[key]
+
+    def _slide_predict(self, h: int, w: int, oh: int, ow: int):
+        """One jitted program per (image, output) shape: decode all windows,
+        accumulate, bilinear-upsample, argmax — only the final int map
+        crosses the host boundary (per-stage roundtrips cost ~0.5 s/image
+        on tunneled backends)."""
+        key = ("slide_predict", h, w, oh, ow)
+        if key not in self._jitted:
+            hp, wp = max(h, self.crop), max(w, self.crop)
+            wins = self._windows(hp, wp)
+            gh = gw = self.crop // self.patch
+            decode = functools.partial(_decode_crops, model=self.model,
+                                       with_bg=self.with_bg,
+                                       bg_thresh=self.bg_thresh,
+                                       out_h=self.crop, out_w=self.crop,
+                                       gh=gh, gw=gw)
+            mh = jnp.asarray(interp_matrix(h, oh, "linear"))
+            mw = jnp.asarray(interp_matrix(w, ow, "linear"))
+
+            @jax.jit
+            def fn(params, image, text_bank):
+                img = jnp.pad(image, ((0, hp - h), (0, wp - w), (0, 0)))
+                crops = jnp.stack([img[y1:y2, x1:x2]
+                                   for y1, x1, y2, x2 in wins])
+                logits = decode(params, crops, text_bank)   # (N, C, c, c)
+                canvas = jnp.zeros((self.num_classes, hp, wp), jnp.float32)
+                count = jnp.zeros((1, hp, wp), jnp.float32)
+                for i, (y1, x1, y2, x2) in enumerate(wins):
+                    canvas = canvas.at[:, y1:y2, x1:x2].add(logits[i])
+                    count = count.at[:, y1:y2, x1:x2].add(1.0)
+                full = (canvas / count)[:, :h, :w]
+                up = jnp.einsum("oh,chw->cow", mh, full)
+                up = jnp.einsum("pw,cow->cop", mw, up)
+                return jnp.argmax(up, axis=0).astype(jnp.int32)
+
+            self._jitted[key] = fn
+        return self._jitted[key]
+
     def predict(self, image: np.ndarray, orig_shape: Tuple[int, int],
                 mode: str = "slide") -> np.ndarray:
         """Full-image class prediction at the ORIGINAL resolution (mmseg
         rescale=True: bilinear logits upsample then argmax)."""
-        logits = self.slide(image) if mode == "slide" else self.whole(image)
         oh, ow = orig_shape
+        if mode == "slide":
+            h, w, _ = image.shape
+            fn = self._slide_predict(h, w, oh, ow)
+            return np.asarray(fn(self.params, jnp.asarray(image),
+                                 self.text_bank))
+        logits = self.whole(image)
         c, h, w = logits.shape
-        if (oh, ow) != (h, w):
-            mh = interp_matrix(h, oh, "linear")
-            mw = interp_matrix(w, ow, "linear")
-            logits = np.einsum("oh,chw->cow", mh, logits)
-            logits = np.einsum("pw,cow->cop", mw, logits)
-        return logits.argmax(axis=0).astype(np.int32)
+        if (oh, ow) == (h, w):
+            return logits.argmax(axis=0).astype(np.int32)
+        return np.asarray(self._resize_argmax(c, h, w, oh, ow)(
+            jnp.asarray(logits)))
 
 
 def evaluate_dataset(segmenter: ZeroShotSegmenter, dataset,
