@@ -38,15 +38,35 @@ def felzenszwalb(image: np.ndarray, scale: float = 224.0,
     return labels
 
 
-def encode_seg_map(labels: np.ndarray) -> bytes:
-    """zlib(json([h, w, flat])) — the reference's cached LMDB payload format
-    (felzenszwalb_extraction_coco.py:zlib/json packing)."""
+_SGM2_MAGIC = b"SGM2"
+
+
+def encode_seg_map(labels: np.ndarray, binary: bool = True) -> bytes:
+    """Superpixel-map payload.
+
+    binary=True (default): "SGM2" + u16 h,w + zlib(uint16 labels) — ~25x
+    faster to decode than the reference's format (5.3 → 0.2 ms/map on this
+    host, the data-pipeline hot spot). binary=False writes the reference's
+    zlib(json([h, w, flat])) LMDB payload
+    (felzenszwalb_extraction_coco.py) for interchange with its caches.
+    """
     h, w = labels.shape
+    if binary:
+        assert labels.max() < 65536
+        import struct
+        return (_SGM2_MAGIC + struct.pack("<HH", h, w) +
+                zlib.compress(labels.astype(np.uint16).tobytes()))
     payload = json.dumps([h, w, labels.reshape(-1).tolist()])
     return zlib.compress(payload.encode("ascii"))
 
 
 def decode_seg_map(blob: bytes) -> np.ndarray:
+    """Decodes both the binary SGM2 format and the reference's zlib-json."""
+    if blob[:4] == _SGM2_MAGIC:
+        import struct
+        h, w = struct.unpack_from("<HH", blob, 4)
+        flat = np.frombuffer(zlib.decompress(blob[8:]), np.uint16)
+        return flat.reshape(h, w).astype(np.int32)
     h, w, flat = json.loads(zlib.decompress(blob))
     return np.asarray(flat, np.int32).reshape(h, w)
 

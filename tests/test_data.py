@@ -214,3 +214,14 @@ def test_build_dataset_concat():
     assert len(ds) == 1024
     s = ds.sample(700, np.random.default_rng(0))
     assert s["image"].shape == (224, 224, 3)
+
+
+def test_seg_map_codec_binary_and_reference_formats():
+    seg = RNG.integers(0, 500, size=(224, 300)).astype(np.int32)
+    from segclip_tpu.data.superpixel import encode_seg_map, decode_seg_map
+    np.testing.assert_array_equal(
+        decode_seg_map(encode_seg_map(seg, binary=True)), seg)
+    np.testing.assert_array_equal(
+        decode_seg_map(encode_seg_map(seg, binary=False)), seg)
+    assert len(encode_seg_map(seg, binary=True)) < \
+        len(encode_seg_map(seg, binary=False))
