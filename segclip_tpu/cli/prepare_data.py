@@ -127,6 +127,10 @@ def cmd_pack_tars(args):
                             n_bad += 1
                             logger.warning("skip %s: %s", stem, e)
                         del pending[stem]
+            if pending:
+                n_bad += len(pending)
+                logger.warning("%s: %d unpaired members dropped",
+                               os.path.basename(tar_path), len(pending))
             logger.info("%s done (%d packed, %d bad so far)",
                         os.path.basename(tar_path), n_ok, n_bad)
     logger.info("packed %d pairs → %s", n_ok, out_img)

@@ -116,6 +116,9 @@ class DataConfig:
     data_dir: str = ""
     seg_dir: str = ""               # superpixel record files
     crop_scale: Tuple[float, float] = (0.5, 1.0)
+    # cv2-based JPEG decode (pixel-identical; faster only on hosts where
+    # libjpeg-turbo-backed cv2 beats PIL — measured slower here)
+    fast_decode: bool = False
 
 
 @dataclass(frozen=True)

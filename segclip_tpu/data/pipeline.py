@@ -16,7 +16,9 @@ Replaces the reference's torch DataLoader stack (dataloaders/*.py):
 Storage is SGR record files (data/records.py):
   <name>_images.sgr    key → JPEG bytes
   <name>_captions.sgr  key → JSON list[str]
-  <name>_seg.sgr       key → zlib(json([h, w, flat])) superpixel map
+  <name>_seg.sgr       key → superpixel map: binary "SGM2"+u16 dims+
+                       zlib(uint16 labels) (default) or the reference's
+                       zlib(json([h, w, flat])) — decoder handles both
 """
 from __future__ import annotations
 
@@ -179,7 +181,8 @@ def build_dataset(cfg: DataConfig, use_seg: bool = True):
         else:
             parts.append(PairRecordDataset(name, cfg.data_dir,
                                            max_words=cfg.max_words,
-                                           use_seg=use_seg))
+                                           use_seg=use_seg,
+                                           fast_decode=cfg.fast_decode))
     if not parts:
         raise ValueError(f"no datasets in datatype={cfg.datatype!r}")
     return parts[0] if len(parts) == 1 else ConcatDataset(parts)

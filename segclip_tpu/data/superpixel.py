@@ -52,7 +52,10 @@ def encode_seg_map(labels: np.ndarray, binary: bool = True) -> bytes:
     """
     h, w = labels.shape
     if binary:
-        assert labels.max() < 65536
+        if labels.max() >= 65536:
+            raise ValueError(
+                f"{labels.max() + 1} superpixel ids exceed the uint16 binary "
+                f"format — encode with binary=False")
         import struct
         return (_SGM2_MAGIC + struct.pack("<HH", h, w) +
                 zlib.compress(labels.astype(np.uint16).tobytes()))

@@ -212,42 +212,72 @@ class ZeroShotSegmenter:
             self._jitted[key] = fn
         return self._jitted[key]
 
-    def _slide_predict(self, h: int, w: int, oh: int, ow: int):
-        """One jitted program per (image, output) shape: decode all windows,
-        accumulate, bilinear-upsample, argmax — only the final int map
-        crosses the host boundary (per-stage roundtrips cost ~0.5 s/image
-        on tunneled backends)."""
-        key = ("slide_predict", h, w, oh, ow)
+    def _slide_predict(self, n_bucket: int, hb: int, wb: int, ohb: int,
+                       owb: int):
+        """Shape-GENERIC fused predict: decode all windows, accumulate,
+        bilinear-upsample, argmax in one compiled program. All image-specific
+        quantities (window coords, true h/w/oh/ow) are runtime inputs and
+        dims are quantized to buckets, so an entire eval dataset reuses a
+        handful of executables (a per-exact-shape key would recompile the
+        whole ViT decode for nearly every image). Only the final int map
+        crosses the host boundary."""
+        key = ("slide_predict", n_bucket, hb, wb, ohb, owb)
         if key not in self._jitted:
-            hp, wp = max(h, self.crop), max(w, self.crop)
-            wins = self._windows(hp, wp)
             gh = gw = self.crop // self.patch
+            crop = self.crop
             decode = functools.partial(_decode_crops, model=self.model,
                                        with_bg=self.with_bg,
                                        bg_thresh=self.bg_thresh,
-                                       out_h=self.crop, out_w=self.crop,
-                                       gh=gh, gw=gw)
-            mh = jnp.asarray(interp_matrix(h, oh, "linear"))
-            mw = jnp.asarray(interp_matrix(w, ow, "linear"))
+                                       out_h=crop, out_w=crop, gh=gh, gw=gw)
+
+            def linear_matrix(out_pad, in_pad, n_out, n_in):
+                """torch-convention bilinear weights built on device from
+                traced sizes; rows/cols beyond (n_out, n_in) are zero."""
+                i = jax.lax.broadcasted_iota(jnp.float32,
+                                             (out_pad, in_pad), 0)
+                j = jax.lax.broadcasted_iota(jnp.float32,
+                                             (out_pad, in_pad), 1)
+                src = (i + 0.5) * (n_in / n_out) - 0.5
+                src = jnp.clip(src, 0.0, n_in - 1.0)
+                wgt = jnp.maximum(0.0, 1.0 - jnp.abs(src - j))
+                return jnp.where((i < n_out) & (j < n_in), wgt, 0.0)
 
             @jax.jit
-            def fn(params, image, text_bank):
-                img = jnp.pad(image, ((0, hp - h), (0, wp - w), (0, 0)))
-                crops = jnp.stack([img[y1:y2, x1:x2]
-                                   for y1, x1, y2, x2 in wins])
+            def fn(params, image, text_bank, ys, xs, valid, h, w, oh, ow):
+                crops = jnp.stack([
+                    jax.lax.dynamic_slice(image, (ys[i], xs[i], 0),
+                                          (crop, crop, 3))
+                    for i in range(n_bucket)])
                 logits = decode(params, crops, text_bank)   # (N, C, c, c)
-                canvas = jnp.zeros((self.num_classes, hp, wp), jnp.float32)
-                count = jnp.zeros((1, hp, wp), jnp.float32)
-                for i, (y1, x1, y2, x2) in enumerate(wins):
-                    canvas = canvas.at[:, y1:y2, x1:x2].add(logits[i])
-                    count = count.at[:, y1:y2, x1:x2].add(1.0)
-                full = (canvas / count)[:, :h, :w]
+                canvas = jnp.zeros((self.num_classes, hb, wb), jnp.float32)
+                count = jnp.zeros((1, hb, wb), jnp.float32)
+                for i in range(n_bucket):
+                    patch = logits[i] * valid[i]
+                    cur = jax.lax.dynamic_slice(
+                        canvas, (0, ys[i], xs[i]),
+                        (self.num_classes, crop, crop))
+                    canvas = jax.lax.dynamic_update_slice(
+                        canvas, cur + patch, (0, ys[i], xs[i]))
+                    cnt = jax.lax.dynamic_slice(count, (0, ys[i], xs[i]),
+                                                (1, crop, crop))
+                    canvas_ones = jnp.full((1, crop, crop), valid[i])
+                    count = jax.lax.dynamic_update_slice(
+                        count, cnt + canvas_ones, (0, ys[i], xs[i]))
+                full = canvas / jnp.maximum(count, 1e-6)
+                mh = linear_matrix(ohb, hb, oh.astype(jnp.float32),
+                                   h.astype(jnp.float32))
+                mw = linear_matrix(owb, wb, ow.astype(jnp.float32),
+                                   w.astype(jnp.float32))
                 up = jnp.einsum("oh,chw->cow", mh, full)
                 up = jnp.einsum("pw,cow->cop", mw, up)
                 return jnp.argmax(up, axis=0).astype(jnp.int32)
 
             self._jitted[key] = fn
         return self._jitted[key]
+
+    @staticmethod
+    def _bucket(n: int, q: int) -> int:
+        return max(q, -(-n // q) * q)
 
     def predict(self, image: np.ndarray, orig_shape: Tuple[int, int],
                 mode: str = "slide") -> np.ndarray:
@@ -256,9 +286,31 @@ class ZeroShotSegmenter:
         oh, ow = orig_shape
         if mode == "slide":
             h, w, _ = image.shape
-            fn = self._slide_predict(h, w, oh, ow)
-            return np.asarray(fn(self.params, jnp.asarray(image),
-                                 self.text_bank))
+            hp, wp = max(h, self.crop), max(w, self.crop)
+            wins = self._windows(hp, wp)
+            n_bucket = 1 << (len(wins) - 1).bit_length()
+            hb = self._bucket(hp, self.crop)
+            wb = self._bucket(wp, self.crop)
+            ohb = self._bucket(oh, 256)
+            owb = self._bucket(ow, 256)
+
+            padded = np.zeros((hb, wb, 3), image.dtype)
+            padded[:h, :w] = image
+            ys = np.zeros(n_bucket, np.int32)
+            xs = np.zeros(n_bucket, np.int32)
+            valid = np.zeros(n_bucket, np.float32)
+            for i, (y1, x1, y2, x2) in enumerate(wins):
+                ys[i], xs[i], valid[i] = y1, x1, 1.0
+
+            fn = self._slide_predict(n_bucket, hb, wb, ohb, owb)
+            pred = np.asarray(fn(self.params, jnp.asarray(padded),
+                                 self.text_bank, jnp.asarray(ys),
+                                 jnp.asarray(xs), jnp.asarray(valid),
+                                 jnp.asarray(h, jnp.int32),
+                                 jnp.asarray(w, jnp.int32),
+                                 jnp.asarray(oh, jnp.int32),
+                                 jnp.asarray(ow, jnp.int32)))
+            return pred[:oh, :ow]
         logits = self.whole(image)
         c, h, w = logits.shape
         if (oh, ow) == (h, w):

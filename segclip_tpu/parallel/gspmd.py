@@ -111,8 +111,7 @@ def make_gspmd_train_step(mesh: Mesh, model, tx, state,
                            grad_accum_steps=grad_accum_steps)
 
     # metrics replicated
-    step = jax.jit(fn, in_shardings=(jax.tree.map(lambda s: s, st_sh),
-                                     batch_sharding),
+    step = jax.jit(fn, in_shardings=(st_sh, batch_sharding),
                    donate_argnums=(0,))
 
     def place_state(s):

@@ -169,3 +169,34 @@ def test_slide_pads_small_images(tiny):
     logits = seg.slide(img)
     assert logits.shape == (7, 20, 70)
     assert np.isfinite(logits).all()
+
+
+def test_fused_predict_matches_host_path(tiny):
+    """The shape-generic fused predict (device-built bilinear matrices,
+    dynamic windows) must equal slide() + host interp + argmax."""
+    from segclip_tpu.ops.pos_embed import interp_matrix
+    _, _, _, seg = tiny
+    for shape, orig in [((32, 80), (61, 163)), ((32, 32), (64, 64)),
+                        ((20, 70), (40, 140)), ((48, 45), (97, 90))]:
+        img = RNG.normal(size=shape + (3,)).astype(np.float32)
+        got = seg.predict(img, orig_shape=orig)
+        # host oracle
+        logits = seg.slide(img)
+        mh = interp_matrix(logits.shape[1], orig[0], "linear")
+        mw = interp_matrix(logits.shape[2], orig[1], "linear")
+        up = np.einsum("oh,chw->cow", mh, logits)
+        up = np.einsum("pw,cow->cop", mw, up)
+        want = up.argmax(0).astype(np.int32)
+        assert got.shape == want.shape == orig
+        np.testing.assert_array_equal(got, want, err_msg=str(shape))
+
+
+def test_fused_predict_reuses_compiled_buckets(tiny):
+    _, _, _, seg = tiny
+    seg._jitted.clear()
+    # several distinct image widths mapping to the same (bucket) key
+    for w in (33, 40, 50, 60):
+        img = RNG.normal(size=(32, w, 3)).astype(np.float32)
+        seg.predict(img, orig_shape=(64, 2 * w))
+    slide_keys = [k for k in seg._jitted if k[0] == "slide_predict"]
+    assert len(slide_keys) == 1, slide_keys

@@ -3,9 +3,10 @@
 threshold, vit_seg.py:202-256) vs our _decode_crops, with the same weights
 and text bank.
 
-mmseg/mmcv/matplotlib are absent in this image; ViTSegInference only uses
+mmseg/mmcv are absent in this image; ViTSegInference only uses
 EncoderDecoder as a base class and mmcv.Config as a dict wrapper, so both
-are stubbed minimally. Skipped when /root/reference is missing.
+are stubbed minimally (matplotlib IS present and left untouched).
+Skipped when /root/reference is missing.
 """
 import os
 import sys
@@ -50,9 +51,6 @@ def ref_vitseg():
     mmseg = stub("mmseg")
     mmseg.__path__ = []
     stub("mmseg.models", EncoderDecoder=FakeEncoderDecoder)
-    plt_mod = stub("matplotlib", use=lambda *a: None)
-    plt_mod.__path__ = []
-    stub("matplotlib.pyplot")
 
     sys.path.insert(0, REFERENCE)
     # Load vit_seg.py standalone under a synthetic package — the real
