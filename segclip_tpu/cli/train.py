@@ -34,6 +34,7 @@ def build_config(args) -> Config:
     data = DataConfig(datatype=args.datatype, batch_size=args.batch_size,
                       max_words=args.max_words, data_dir=args.data_dir)
     train_c = TrainConfig(epochs=args.epochs, seed=args.seed,
+                          grad_accum_steps=args.grad_accum_steps,
                           log_every=args.n_display,
                           output_dir=args.output_dir,
                           resume=args.resume_model,
@@ -69,6 +70,9 @@ def main(argv=None):
     ap.add_argument("--resume-model", default=None)
     ap.add_argument("--do-resume", action="store_true")
     ap.add_argument("--n-display", type=int, default=50)
+    ap.add_argument("--grad-accum-steps", type=int, default=1)
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="write a jax.profiler trace of the first epoch")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--output-dir", default="output/pretrain")
     ap.add_argument("--eval-each-epoch", action="store_true")
@@ -96,9 +100,11 @@ def main(argv=None):
             return evaluate_dataset(seg, ds, logger=logger)["mIoU"]
 
     from segclip_tpu.train.loop import train
-    result = train(cfg, init_model=args.init_model,
-                   resume=args.do_resume or bool(args.resume_model),
-                   eval_fn=eval_fn)
+    from segclip_tpu.utils.profiling import trace_if
+    with trace_if(args.profile, enabled=args.profile is not None):
+        result = train(cfg, init_model=args.init_model,
+                       resume=args.do_resume or bool(args.resume_model),
+                       eval_fn=eval_fn)
     logger.info("training done: %d epochs, final loss %f",
                 result["epochs_run"], result["final_loss"])
 
