@@ -39,9 +39,9 @@ def main():
     batch = per_chip_batch * n_dev
 
     model, params = init_segclip(cfg_m, seed=0)
-    state, tx = create_train_state(cfg, params, t_total=1000, seed=0)
+    state, tx, trainable = create_train_state(cfg, params, t_total=1000, seed=0)
     mesh = make_mesh()
-    step = make_sharded_train_step(mesh, model, tx)
+    step = make_sharded_train_step(mesh, model, tx, trainable=trainable)
 
     rng = np.random.default_rng(0)
     ids = np.zeros((batch, cfg_m.max_words), np.int32)

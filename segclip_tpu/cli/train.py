@@ -94,8 +94,9 @@ def main(argv=None):
         from segclip_tpu.evalseg.inference import evaluate_dataset
 
         def eval_fn(model, params):
-            spec = DATASET_SPECS["voc"]
-            seg = build_segmenter(model, params, cfg.model, spec)
+            spec = DATASET_SPECS[cfg.eval.dataset]
+            seg = build_segmenter(model, params, cfg.model, spec,
+                                  template_set=cfg.eval.template_set)
             ds = SegEvalDataset(spec, args.eval_data_root)
             return evaluate_dataset(seg, ds, logger=logger)["mIoU"]
 

@@ -111,10 +111,9 @@ class OptimConfig:
 class DataConfig:
     datatype: str = "coco"          # comma-joined: "cc,coco,"
     batch_size: int = 768           # GLOBAL batch
-    num_workers: int = 8
+    prefetch: int = 4               # loader prefetch depth (batches)
     max_words: int = 32
     data_dir: str = ""
-    seg_dir: str = ""               # superpixel record files
     crop_scale: Tuple[float, float] = (0.5, 1.0)
     # cv2-based JPEG decode (pixel-identical; faster only on hosts where
     # libjpeg-turbo-backed cv2 beats PIL — measured slower here)
@@ -129,7 +128,6 @@ class TrainConfig:
     log_every: int = 50
     output_dir: str = "output"
     resume: Optional[str] = None
-    init_checkpoint: Optional[str] = None
     # mesh axis sizes; -1 on `data` means "all devices"
     data_parallelism: int = -1
     eval_each_epoch: bool = True
@@ -137,12 +135,11 @@ class TrainConfig:
 
 @dataclass(frozen=True)
 class EvalConfig:
+    """In-training zero-shot eval. Per-dataset protocol constants
+    (bg_thresh, slide geometry) live in evalseg.datasets.DATASET_SPECS;
+    the standalone eval CLI exposes overrides via flags."""
     dataset: str = "voc"
     template_set: str = "simple"
-    bg_thresh: float = 0.80         # VOC default; Context .25, COCO .65
-    slide_crop: int = 224
-    slide_stride: int = 224
-    mode: str = "slide"             # or "whole"
 
 
 @dataclass(frozen=True)
@@ -179,6 +176,12 @@ def _coerce(raw: str, typ: Any) -> Any:
             return float(raw)
     except ValueError:
         pass
+    if name.startswith("Tuple") or name.startswith("tuple"):
+        parts = [p for p in raw.strip("()[] ").replace(" ", "").split(",")
+                 if p]
+        def num(p):
+            return int(p) if p.lstrip("-").isdigit() else float(p)
+        return tuple(num(p) for p in parts)
     if raw.lower() == "none":
         return None
     return raw

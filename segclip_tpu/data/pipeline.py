@@ -64,8 +64,10 @@ class PairRecordDataset:
                  image_size: int = 224, patch_size: int = 16,
                  use_seg: bool = True,
                  tokenizer: Optional[ClipTokenizer] = None,
-                 fast_decode: bool = False):
+                 fast_decode: bool = False,
+                 crop_scale: Tuple[float, float] = (0.5, 1.0)):
         self.fast_decode = fast_decode
+        self.crop_scale = tuple(crop_scale)
         self.name = name
         self.images = SgrReader(os.path.join(data_dir, f"{name}_images.sgr"))
         self.captions = SgrReader(
@@ -102,7 +104,8 @@ class PairRecordDataset:
         jpeg = self.images.get(key)
         img = _decode_jpeg(jpeg, self.fast_decode)
 
-        arr, coord = random_resized_crop_coord(img, self.image_size, rng)
+        arr, coord = random_resized_crop_coord(img, self.image_size, rng,
+                                               scale=self.crop_scale)
         from segclip_tpu.data.tokenizer import tokenize_with_mask
         ids, mask = tokenize_with_mask(self.tokenizer, caption,
                                        self.max_words)
@@ -182,7 +185,8 @@ def build_dataset(cfg: DataConfig, use_seg: bool = True):
             parts.append(PairRecordDataset(name, cfg.data_dir,
                                            max_words=cfg.max_words,
                                            use_seg=use_seg,
-                                           fast_decode=cfg.fast_decode))
+                                           fast_decode=cfg.fast_decode,
+                                           crop_scale=cfg.crop_scale))
     if not parts:
         raise ValueError(f"no datasets in datatype={cfg.datatype!r}")
     return parts[0] if len(parts) == 1 else ConcatDataset(parts)
@@ -230,10 +234,16 @@ class BatchLoader:
             try:
                 return self.dataset.sample(int(idx), rng)
             except Exception as e:          # corrupt record → advance
+                if last_err is None:
+                    from segclip_tpu.utils.logging import get_logger
+                    get_logger().warning("sample %d failed (%s: %s); "
+                                         "retrying subsequent indices",
+                                         idx, type(e).__name__, e)
                 last_err = e
                 idx = (int(idx) + 1) % len(self.dataset)
         raise RuntimeError(
-            f"{self.MAX_RETRIES} consecutive corrupt samples") from last_err
+            f"{self.MAX_RETRIES} consecutive corrupt samples "
+            f"(last: {type(last_err).__name__}: {last_err})") from last_err
 
     def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
         indices = self.sampler.epoch_indices(epoch)

@@ -21,7 +21,14 @@ import numpy as np
 
 def felzenszwalb(image: np.ndarray, scale: float = 224.0,
                  sigma: float = 0.9, min_size: int = 224) -> np.ndarray:
-    """image: uint8 or float RGB (H, W, 3). Returns int32 (H, W) labels."""
+    """image: uint8 or float RGB (H, W, 3). Returns int32 (H, W) labels.
+
+    `scale` follows skimage's convention: pixels are normalized to [0, 1]
+    and the threshold constant is scale/255 (skimage rescales internally
+    "to behave like the reference implementation", which operated on 0-255
+    ints). Passing the raw scale against [0,1] edge weights would merge
+    everything into one segment.
+    """
     from segclip_tpu.native.build import load
     lib = load()
     img = np.ascontiguousarray(image, np.float32)
@@ -31,7 +38,7 @@ def felzenszwalb(image: np.ndarray, scale: float = 224.0,
     labels = np.empty((h, w), np.int32)
     n = lib.felzenszwalb_segment(
         img.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), h, w,
-        ctypes.c_float(scale), ctypes.c_float(sigma), min_size,
+        ctypes.c_float(scale / 255.0), ctypes.c_float(sigma), min_size,
         labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
     if n < 0:
         raise RuntimeError("felzenszwalb_segment failed")

@@ -138,7 +138,11 @@ class SegCLIP(nn.Module):
             losses["seglabel_loss"] = superpixel_kl_loss(vis.mid["hard_attn"],
                                                          image_seg)
 
-        if c.use_text_mae_recon:
+        # The MAE losses are training-only (the reference forward returns
+        # None entirely at eval, modeling.py:255); at training=False we
+        # return the deterministic losses (InfoNCE + seglabel) without
+        # touching the "mae" rng stream.
+        if c.use_text_mae_recon and training:
             t_masked = self.clip.encode_text(
                 input_ids, mask_ratio=c.mae_seq_mask_ratio, training=training,
                 mask_key=self.make_rng("mae"))
@@ -148,11 +152,11 @@ class SegCLIP(nn.Module):
                 input_ids, t_masked.hidden, recon_mask,
                 t_masked.ids_restore, attention_mask)
 
-        if c.use_vision_mae_recon:
+        if c.use_vision_mae_recon and training:
             v_masked = self.clip.encode_image(
                 image, mask_ratio=c.mae_vis_mask_ratio, training=training,
                 mask_key=self.make_rng("mae"),
-                gumbel_key=self.make_rng("gumbel") if training else None)
+                gumbel_key=self.make_rng("gumbel"))
             # Decoder input: reconstructed patch features with a mean-CLS
             # prepended (modeling.py:243-245).
             hidden = v_masked.mid["hidden"]

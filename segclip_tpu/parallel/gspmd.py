@@ -94,7 +94,8 @@ def state_shardings(state, mesh: Mesh):
 
 def make_gspmd_train_step(mesh: Mesh, model, tx, state,
                           max_grad_norm: float = 1.0,
-                          grad_accum_steps: int = 1):
+                          grad_accum_steps: int = 1,
+                          trainable=None):
     """Compiler-partitioned train step over a ("data", "model") mesh.
 
     The step function is the global-batch program (axis_name=None); batch
@@ -108,7 +109,8 @@ def make_gspmd_train_step(mesh: Mesh, model, tx, state,
 
     fn = functools.partial(train_step_fn, model=model, tx=tx,
                            max_grad_norm=max_grad_norm, axis_name=None,
-                           grad_accum_steps=grad_accum_steps)
+                           grad_accum_steps=grad_accum_steps,
+                           trainable=trainable)
 
     # metrics replicated
     step = jax.jit(fn, in_shardings=(st_sh, batch_sharding),

@@ -43,7 +43,8 @@ def train(cfg: Config, init_model: Optional[str] = None,
     sampler = ShardedEpochSampler(len(dataset), cfg.data.batch_size,
                                   shard=host, num_shards=n_hosts,
                                   seed=cfg.train.seed)
-    loader = BatchLoader(dataset, sampler, seed=cfg.train.seed)
+    loader = BatchLoader(dataset, sampler, seed=cfg.train.seed,
+                         prefetch=cfg.data.prefetch)
     steps_per_epoch = sampler.steps
     if steps_per_epoch == 0:
         raise ValueError(
@@ -61,8 +62,8 @@ def train(cfg: Config, init_model: Optional[str] = None,
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
     logger.info("model parameters: %.1fM", n_params / 1e6)
 
-    state, tx = create_train_state(cfg, params, t_total=t_total,
-                                   seed=cfg.train.seed)
+    state, tx, trainable = create_train_state(cfg, params, t_total=t_total,
+                                              seed=cfg.train.seed)
     del params
 
     start_epoch = 0
@@ -76,7 +77,7 @@ def train(cfg: Config, init_model: Optional[str] = None,
     mesh = make_mesh(cfg.train.data_parallelism)
     step_fn = make_sharded_train_step(
         mesh, model, tx, max_grad_norm=cfg.optim.max_grad_norm,
-        grad_accum_steps=cfg.train.grad_accum_steps)
+        grad_accum_steps=cfg.train.grad_accum_steps, trainable=trainable)
 
     ckpts = []
     final_loss = float("nan")
@@ -110,12 +111,16 @@ def train(cfg: Config, init_model: Optional[str] = None,
         logger.info("Epoch %d done in %.1fs, last loss %f",
                     epoch + 1, time.time() - t_start, final_loss)
 
+        # Orbax save is a multi-process collective — every host must call it
+        # (gating on host 0 deadlocks multi-host runs at the save barrier).
+        path = save_checkpoint(cfg.train.output_dir, epoch, state)
         if host == 0:
-            path = save_checkpoint(cfg.train.output_dir, epoch, state)
             ckpts.append(path)
             logger.info("checkpoint saved to %s", path)
 
-        if eval_fn is not None and cfg.train.eval_each_epoch and host == 0:
+        # The eval segmenter jits without the global mesh; its computation
+        # is single-process only.
+        if eval_fn is not None and cfg.train.eval_each_epoch and n_hosts == 1:
             try:
                 miou = eval_fn(model, state.params)
                 logger.info("Epoch %d zero-shot mIoU: %.2f", epoch + 1, miou)

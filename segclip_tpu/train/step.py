@@ -38,9 +38,11 @@ class TrainState(struct.PyTreeNode):
 
 
 def create_train_state(cfg: Config, params: Any, t_total: int,
-                       seed: int = 0) -> Tuple[TrainState, Any]:
-    """Build TrainState + the optimizer transform (kept separately since the
-    transform closes over static label trees)."""
+                       seed: int = 0) -> Tuple[TrainState, Any, Any]:
+    """Build (TrainState, optimizer transform, trainable-mask tree). The
+    mask also feeds the step's grad clipping: frozen params contribute no
+    gradient in the reference (requires_grad=False → clip_grad_norm_ never
+    sees them), so their JAX grads must be zeroed BEFORE the global norm."""
     lr_tree, wd_tree = lr_wd_trees(params, cfg.optim)
     trainable = trainable_tree(params, cfg.optim,
                                first_stage_layer=cfg.model.first_stage_layer)
@@ -55,7 +57,7 @@ def create_train_state(cfg: Config, params: Any, t_total: int,
     state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                        opt_state=opt_state,
                        rng=jax.random.key(seed))
-    return state, tx
+    return state, tx, trainable
 
 
 def _loss_fn(params, model: SegCLIP, batch, rngs, axis_name):
@@ -69,7 +71,8 @@ def _loss_fn(params, model: SegCLIP, batch, rngs, axis_name):
 def train_step_fn(state: TrainState, batch: dict, model: SegCLIP, tx,
                   max_grad_norm: float = 1.0,
                   axis_name: Optional[str] = DATA_AXIS,
-                  grad_accum_steps: int = 1):
+                  grad_accum_steps: int = 1,
+                  trainable: Optional[Any] = None):
     """One optimizer step. Runs replicated under shard_map (or single-device
     when axis_name is None). With grad_accum_steps > 1 the per-shard batch is
     split into micro-batches scanned sequentially, gradients averaged before
@@ -118,6 +121,11 @@ def train_step_fn(state: TrainState, batch: dict, model: SegCLIP, tx,
         losses = jax.lax.pmean(losses, axis_name)
         loss = losses["loss"]
 
+    if trainable is not None:
+        # Frozen params have no gradient in the reference (requires_grad
+        # False), so they must not contribute to the clip norm.
+        grads = jax.tree.map(
+            lambda g, t: g if t else jnp.zeros_like(g), grads, trainable)
     grads, grad_norm = global_norm_clip(grads, max_grad_norm)
 
     updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
@@ -151,11 +159,13 @@ def train_step_fn(state: TrainState, batch: dict, model: SegCLIP, tx,
 
 def make_sharded_train_step(mesh: Mesh, model: SegCLIP, tx,
                             max_grad_norm: float = 1.0,
-                            grad_accum_steps: int = 1):
+                            grad_accum_steps: int = 1,
+                            trainable: Optional[Any] = None):
     """jit(shard_map(train_step)): batch sharded on `data`, state replicated."""
     fn = functools.partial(train_step_fn, model=model, tx=tx,
                            max_grad_norm=max_grad_norm, axis_name=DATA_AXIS,
-                           grad_accum_steps=grad_accum_steps)
+                           grad_accum_steps=grad_accum_steps,
+                           trainable=trainable)
     sharded = shard_map(
         fn, mesh=mesh,
         in_specs=(P(), P(DATA_AXIS)),
@@ -168,8 +178,10 @@ def make_sharded_train_step(mesh: Mesh, model: SegCLIP, tx,
 
 def make_single_device_train_step(model: SegCLIP, tx,
                                   max_grad_norm: float = 1.0,
-                                  grad_accum_steps: int = 1):
+                                  grad_accum_steps: int = 1,
+                                  trainable: Optional[Any] = None):
     fn = functools.partial(train_step_fn, model=model, tx=tx,
                            max_grad_norm=max_grad_norm, axis_name=None,
-                           grad_accum_steps=grad_accum_steps)
+                           grad_accum_steps=grad_accum_steps,
+                           trainable=trainable)
     return jax.jit(fn)

@@ -24,7 +24,7 @@ TINY = ModelConfig(
 def _state():
     cfg = Config(model=TINY, optim=OptimConfig())
     model, params = init_segclip(TINY, seed=0)
-    state, tx = create_train_state(cfg, params, t_total=10, seed=0)
+    state, tx, _ = create_train_state(cfg, params, t_total=10, seed=0)
     return state
 
 

@@ -225,3 +225,13 @@ def test_seg_map_codec_binary_and_reference_formats():
         decode_seg_map(encode_seg_map(seg, binary=False)), seg)
     assert len(encode_seg_map(seg, binary=True)) < \
         len(encode_seg_map(seg, binary=False))
+
+
+def test_felzenszwalb_scale_convention_matches_skimage():
+    """skimage divides `scale` by 255 internally ([0,1] pixels); with the
+    reference recipe (scale=224 sigma=0.9 min_size=224) a textured image
+    must produce MANY segments, not collapse to one (regression)."""
+    img = RNG.uniform(0, 255, (224, 224, 3)).astype(np.uint8)
+    img[:, :112] //= 2
+    n = felzenszwalb(img, scale=224.0, sigma=0.9, min_size=224).max() + 1
+    assert n >= 5, f"only {n} segments — scale convention broken"

@@ -211,3 +211,23 @@ def test_text_eot_pooling(tiny_model):
     for i in range(ids.shape[0]):
         np.testing.assert_array_equal(np.asarray(out.pooled)[i],
                                       hid[i, eots[i]])
+
+
+def test_eval_mode_losses_need_no_mae_rng(tiny_model):
+    """training=False must compute the deterministic losses without the
+    'mae'/'gumbel' rng streams (regression: unconditional make_rng)."""
+    model, params = tiny_model
+    ids, mask, img, seg = _tiny_batch()
+    losses = model.apply({"params": params}, ids, mask, img, seg,
+                         training=False)
+    assert "sim_loss" in losses and "seglabel_loss" in losses
+    assert "vis_mae_loss" not in losses and "text_mae_loss" not in losses
+    assert np.isfinite(float(losses["loss"]))
+
+
+def test_config_tuple_override():
+    from segclip_tpu.config import Config, apply_overrides
+    cfg = apply_overrides(Config(), ["data.crop_scale=(0.6, 1.0)"])
+    assert cfg.data.crop_scale == (0.6, 1.0)
+    cfg = apply_overrides(Config(), ["data.crop_scale=0.7,0.9"])
+    assert cfg.data.crop_scale == (0.7, 0.9)

@@ -95,7 +95,8 @@ def test_infonce_gradients_flow_through_gather():
 def tiny_train_setup():
     cfg = Config(model=TINY, optim=OptimConfig(lr=1e-3, lower_lr=1e-4))
     model, params = init_segclip(TINY, seed=0)
-    state, tx = create_train_state(cfg, params, t_total=50, seed=1)
+    state, tx, trainable = create_train_state(cfg, params, t_total=50,
+                                              seed=1)
     return cfg, model, state, tx
 
 
