@@ -32,7 +32,8 @@ def build_config(args) -> Config:
         freeze_layer_num=args.freeze_layer_num,
         freeze_text_layer_num=args.freeze_text_layer_num)
     data = DataConfig(datatype=args.datatype, batch_size=args.batch_size,
-                      max_words=args.max_words, data_dir=args.data_dir)
+                      max_words=args.max_words, data_dir=args.data_dir,
+                      num_workers=args.num_workers)
     train_c = TrainConfig(epochs=args.epochs, seed=args.seed,
                           grad_accum_steps=args.grad_accum_steps,
                           log_every=args.n_display,
@@ -69,6 +70,8 @@ def main(argv=None):
                     help="torch CLIP/.bin checkpoint or Orbax params")
     ap.add_argument("--resume-model", default=None)
     ap.add_argument("--do-resume", action="store_true")
+    ap.add_argument("--num-workers", type=int, default=0,
+                    help="decode worker processes (-1 = cpu_count - 1)")
     ap.add_argument("--n-display", type=int, default=50)
     ap.add_argument("--grad-accum-steps", type=int, default=1)
     ap.add_argument("--profile", default=None, metavar="DIR",

@@ -112,6 +112,9 @@ class DataConfig:
     datatype: str = "coco"          # comma-joined: "cc,coco,"
     batch_size: int = 768           # GLOBAL batch
     prefetch: int = 4               # loader prefetch depth (batches)
+    # Decode worker processes (torch DataLoader num_workers equivalent);
+    # 0 = one background thread, -1 = cpu_count - 1.
+    num_workers: int = 0
     max_words: int = 32
     data_dir: str = ""
     crop_scale: Tuple[float, float] = (0.5, 1.0)

@@ -19,15 +19,28 @@ Storage is SGR record files (data/records.py):
   <name>_seg.sgr       key → superpixel map: binary "SGM2"+u16 dims+
                        zlib(uint16 labels) (default) or the reference's
                        zlib(json([h, w, flat])) — decoder handles both
+
+Parallel loading (the reference's num_workers DataLoader processes,
+data_dataloaders.py:9-12): `BatchLoader(num_workers=N)` decodes batches in
+N spawned worker processes, each lazily constructing its own dataset from a
+picklable factory (the reference keeps per-worker LMDB handles the same
+way, dataloader_cc_retrieval.py:98-106). Sample randomness is derived from
+the GLOBAL sample position — `default_rng((seed, epoch, shard, position))`
+— so batches are bit-identical for every worker count, including 0
+(in-thread). Workers ship images as uint8 (4× less pickle/IPC and
+host→device transfer than float32); normalization happens on-device inside
+the jitted train step (train/step.py).
 """
 from __future__ import annotations
 
 import io
 import json
+import multiprocessing as mp
 import os
 import queue
 import threading
-from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+import traceback
+from typing import Callable, Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 from PIL import Image
@@ -65,8 +78,10 @@ class PairRecordDataset:
                  use_seg: bool = True,
                  tokenizer: Optional[ClipTokenizer] = None,
                  fast_decode: bool = False,
-                 crop_scale: Tuple[float, float] = (0.5, 1.0)):
+                 crop_scale: Tuple[float, float] = (0.5, 1.0),
+                 normalize: bool = True):
         self.fast_decode = fast_decode
+        self.normalize = normalize
         self.crop_scale = tuple(crop_scale)
         self.name = name
         self.images = SgrReader(os.path.join(data_dir, f"{name}_images.sgr"))
@@ -112,7 +127,9 @@ class PairRecordDataset:
         out = {
             "input_ids": ids,
             "attention_mask": mask,
-            "image": clip_normalize(arr),
+            # normalize=False ships uint8; the train step normalizes on
+            # device (4× smaller IPC + PCIe/tunnel transfer).
+            "image": clip_normalize(arr) if self.normalize else arr,
             "coord": coord,
         }
 
@@ -129,13 +146,15 @@ class SyntheticDataset:
 
     def __init__(self, length: int = 512, max_words: int = 32,
                  image_size: int = 224, patch_size: int = 16,
-                 vocab_size: int = 49408, use_seg: bool = True):
+                 vocab_size: int = 49408, use_seg: bool = True,
+                 normalize: bool = True):
         self.length = length
         self.max_words = max_words
         self.image_size = image_size
         self.grid = image_size // patch_size
         self.vocab = vocab_size
         self.use_seg = use_seg
+        self.normalize = normalize
 
     def __len__(self):
         return self.length
@@ -147,11 +166,17 @@ class SyntheticDataset:
         ids[1:n - 1] = rng.integers(1, min(self.vocab - 2, 49000),
                                     size=n - 2)
         ids[n - 1] = 49407
+        if self.normalize:
+            image = rng.normal(size=(self.image_size, self.image_size, 3)
+                               ).astype(np.float32) * 0.3
+        else:
+            image = rng.integers(
+                0, 256, size=(self.image_size, self.image_size, 3)
+            ).astype(np.uint8)
         out = {
             "input_ids": ids,
             "attention_mask": (ids != 0).astype(np.int32),
-            "image": rng.normal(size=(self.image_size, self.image_size, 3)
-                                ).astype(np.float32) * 0.3,
+            "image": image,
             "coord": np.zeros(4, np.float32),
         }
         if self.use_seg:
@@ -173,20 +198,26 @@ class ConcatDataset:
         return self.parts[part].sample(idx - int(self._offsets[part]), rng)
 
 
-def build_dataset(cfg: DataConfig, use_seg: bool = True):
-    """datatype "synthetic" | comma-joined shard names ("cc,coco,")."""
+def build_dataset(cfg: DataConfig, use_seg: bool = True,
+                  normalize: bool = True):
+    """datatype "synthetic" | comma-joined shard names ("cc,coco,").
+
+    Also serves as the picklable per-worker dataset factory
+    (functools.partial(build_dataset, cfg, use_seg, normalize))."""
     names = [n for n in cfg.datatype.split(",") if n]
     parts = []
     for name in names:
         if name == "synthetic":
             parts.append(SyntheticDataset(max_words=cfg.max_words,
-                                          use_seg=use_seg))
+                                          use_seg=use_seg,
+                                          normalize=normalize))
         else:
             parts.append(PairRecordDataset(name, cfg.data_dir,
                                            max_words=cfg.max_words,
                                            use_seg=use_seg,
                                            fast_decode=cfg.fast_decode,
-                                           crop_scale=cfg.crop_scale))
+                                           crop_scale=cfg.crop_scale,
+                                           normalize=normalize))
     if not parts:
         raise ValueError(f"no datasets in datatype={cfg.datatype!r}")
     return parts[0] if len(parts) == 1 else ConcatDataset(parts)
@@ -215,37 +246,184 @@ class ShardedEpochSampler:
         return perm[:, self.shard, :]
 
 
-class BatchLoader:
-    """Iterates batches for one epoch with a background prefetch thread and
-    the ≤50-retry corrupt-sample loop."""
+MAX_RETRIES = 50
 
-    MAX_RETRIES = 50
+
+def _load_one(dataset, idx: int, rng) -> Dict:
+    """≤50-retry corrupt-sample loop advancing the index mod len
+    (dataloader_cc_retrieval.py:149-162)."""
+    last_err = None
+    for _ in range(MAX_RETRIES):
+        try:
+            return dataset.sample(int(idx), rng)
+        except Exception as e:              # corrupt record → advance
+            if last_err is None:
+                from segclip_tpu.utils.logging import get_logger
+                get_logger().warning("sample %d failed (%s: %s); "
+                                     "retrying subsequent indices",
+                                     idx, type(e).__name__, e)
+            last_err = e
+            idx = (int(idx) + 1) % len(dataset)
+    raise RuntimeError(
+        f"{MAX_RETRIES} consecutive corrupt samples "
+        f"(last: {type(last_err).__name__}: {last_err})") from last_err
+
+
+def _assemble_batch(dataset, seed: int, epoch: int, shard: int, step: int,
+                    indices: np.ndarray) -> Dict[str, np.ndarray]:
+    """Decode one batch. Each sample's rng is seeded from its GLOBAL
+    position so the result is independent of which worker (or how many)
+    produced it."""
+    samples = []
+    base = step * len(indices)
+    for slot, idx in enumerate(indices):
+        rng = np.random.default_rng((seed, epoch, shard, base + slot))
+        samples.append(_load_one(dataset, idx, rng))
+    return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+
+
+def _mp_worker(factory: Callable[[], object], seed: int, shard: int,
+               task_q, result_q):
+    """Persistent worker-process loop: lazily builds its own dataset (the
+    reference likewise opens LMDB handles per worker,
+    dataloader_cc_retrieval.py:98-106) and decodes whole batches."""
+    dataset = None
+    while True:
+        task = task_q.get()
+        if task is None:
+            return
+        epoch, step, indices = task
+        try:
+            if dataset is None:
+                dataset = factory()
+            batch = _assemble_batch(dataset, seed, epoch, shard, step,
+                                    indices)
+            result_q.put(("ok", epoch, step, batch))
+        except Exception as e:
+            result_q.put(("err", epoch, step,
+                          f"{type(e).__name__}: {e}\n"
+                          f"{traceback.format_exc()}"))
+
+
+class BatchLoader:
+    """Iterates batches for one epoch, decoded either by a background
+    prefetch thread (num_workers=0) or by `num_workers` spawned processes
+    (the reference's DataLoader(num_workers=N), data_dataloaders.py:9-12).
+
+    Batches are bit-identical for any worker count: sample randomness is a
+    pure function of (seed, epoch, shard, global position). Workers are
+    spawned lazily on the first epoch and reused across epochs; an epoch
+    abandoned mid-iteration tears the pool down (stale in-flight results
+    must not leak into the next epoch) and the next epoch respawns it.
+    """
+
+    MAX_RETRIES = MAX_RETRIES          # kept as a class attr for tests
 
     def __init__(self, dataset, sampler: ShardedEpochSampler, seed: int = 0,
-                 prefetch: int = 4):
+                 prefetch: int = 4, num_workers: int = 0,
+                 dataset_factory: Optional[Callable[[], object]] = None):
         self.dataset = dataset
         self.sampler = sampler
         self.seed = seed
         self.prefetch = prefetch
+        self.num_workers = num_workers
+        self.dataset_factory = dataset_factory
+        if num_workers > 0 and dataset_factory is None:
+            raise ValueError("num_workers > 0 needs a picklable "
+                             "dataset_factory (workers rebuild the dataset; "
+                             "open mmap/file handles don't pickle)")
+        self._procs: List = []
+        self._task_q = None
+        self._result_q = None
 
-    def _load_one(self, idx: int, rng) -> Dict:
-        last_err = None
-        for attempt in range(self.MAX_RETRIES):
-            try:
-                return self.dataset.sample(int(idx), rng)
-            except Exception as e:          # corrupt record → advance
-                if last_err is None:
-                    from segclip_tpu.utils.logging import get_logger
-                    get_logger().warning("sample %d failed (%s: %s); "
-                                         "retrying subsequent indices",
-                                         idx, type(e).__name__, e)
-                last_err = e
-                idx = (int(idx) + 1) % len(self.dataset)
-        raise RuntimeError(
-            f"{self.MAX_RETRIES} consecutive corrupt samples "
-            f"(last: {type(last_err).__name__}: {last_err})") from last_err
+    # ---- worker pool lifecycle ------------------------------------------
+
+    def _ensure_pool(self):
+        if self._procs:
+            return
+        ctx = mp.get_context("spawn")   # fork is unsafe once jax/TPU threads
+        self._task_q = ctx.Queue(maxsize=2 * self.num_workers)
+        self._result_q = ctx.Queue(
+            maxsize=max(self.prefetch, self.num_workers))
+        self._procs = []
+        for _ in range(self.num_workers):
+            p = ctx.Process(target=_mp_worker,
+                            args=(self.dataset_factory, self.seed,
+                                  self.sampler.shard, self._task_q,
+                                  self._result_q),
+                            daemon=True)
+            p.start()
+            self._procs.append(p)
+
+    def close(self):
+        """Terminate the worker pool (idempotent)."""
+        for p in self._procs:
+            if p.is_alive():
+                p.terminate()
+        for p in self._procs:
+            p.join(timeout=5)
+        for q_ in (self._task_q, self._result_q):
+            if q_ is not None:
+                q_.cancel_join_thread()
+                q_.close()
+        self._procs, self._task_q, self._result_q = [], None, None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    # ---- epoch iterators -------------------------------------------------
 
     def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+        if self.num_workers > 0:
+            yield from self._epoch_mp(epoch)
+        else:
+            yield from self._epoch_thread(epoch)
+
+    def _epoch_mp(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+        indices = self.sampler.epoch_indices(epoch)
+        n_steps = len(indices)
+        self._ensure_pool()
+        stop = threading.Event()
+
+        def feeder():
+            for step in range(n_steps):
+                task = (epoch, step, indices[step])
+                while not stop.is_set():
+                    try:
+                        self._task_q.put(task, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
+
+        t = threading.Thread(target=feeder, daemon=True)
+        t.start()
+
+        pending: Dict[int, Dict] = {}    # out-of-order reorder buffer
+        next_step = 0
+        try:
+            while next_step < n_steps:
+                if next_step in pending:
+                    yield pending.pop(next_step)
+                    next_step += 1
+                    continue
+                status, ep, step, payload = self._result_q.get()
+                if ep != epoch:
+                    continue             # stale result from a torn-down run
+                if status == "err":
+                    raise RuntimeError(f"data worker failed at step {step}:"
+                                       f"\n{payload}")
+                pending[step] = payload
+        finally:
+            stop.set()
+            if next_step < n_steps:      # abandoned mid-epoch
+                self.close()
+
+    def _epoch_thread(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
         indices = self.sampler.epoch_indices(epoch)
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
@@ -263,15 +441,13 @@ class BatchLoader:
             return False
 
         def producer():
-            rng = np.random.default_rng(
-                (self.seed, epoch, self.sampler.shard))
             try:
-                for step_idx in indices:
+                for step, step_idx in enumerate(indices):
                     if stop.is_set():
                         return
-                    samples = [self._load_one(i, rng) for i in step_idx]
-                    batch = {k: np.stack([s[k] for s in samples])
-                             for k in samples[0]}
+                    batch = _assemble_batch(self.dataset, self.seed, epoch,
+                                            self.sampler.shard, step,
+                                            step_idx)
                     if not put(batch):
                         return
             except Exception as e:

@@ -6,6 +6,8 @@ LR/loss/time logging, per-epoch checkpoint, optional in-training VOC mIoU.
 """
 from __future__ import annotations
 
+import functools
+import os
 import time
 from typing import Optional
 
@@ -37,14 +39,23 @@ def train(cfg: Config, init_model: Optional[str] = None,
     logger = get_logger(cfg.train.output_dir)
     metrics_writer = MetricWriter(cfg.train.output_dir)
 
-    dataset = build_dataset(cfg.data, use_seg=cfg.model.use_seglabel)
+    # Pipeline ships uint8 images; the train step normalizes on device.
+    dataset = build_dataset(cfg.data, use_seg=cfg.model.use_seglabel,
+                            normalize=False)
     n_hosts = jax.process_count()
     host = jax.process_index()
     sampler = ShardedEpochSampler(len(dataset), cfg.data.batch_size,
                                   shard=host, num_shards=n_hosts,
                                   seed=cfg.train.seed)
-    loader = BatchLoader(dataset, sampler, seed=cfg.train.seed,
-                         prefetch=cfg.data.prefetch)
+    num_workers = cfg.data.num_workers
+    if num_workers < 0:
+        num_workers = max(1, (os.cpu_count() or 1) - 1)
+    loader = BatchLoader(
+        dataset, sampler, seed=cfg.train.seed, prefetch=cfg.data.prefetch,
+        num_workers=num_workers,
+        dataset_factory=functools.partial(
+            build_dataset, cfg.data, use_seg=cfg.model.use_seglabel,
+            normalize=False))
     steps_per_epoch = sampler.steps
     if steps_per_epoch == 0:
         raise ValueError(
@@ -128,6 +139,7 @@ def train(cfg: Config, init_model: Optional[str] = None,
             except Exception as e:           # eval must not kill training
                 logger.warning("per-epoch eval failed: %s", e)
 
+    loader.close()
     return {"epochs_run": cfg.train.epochs - start_epoch,
             "final_loss": final_loss, "checkpoints": ckpts,
             "state": state, "model": model}

@@ -60,6 +60,20 @@ def create_train_state(cfg: Config, params: Any, t_total: int,
     return state, tx, trainable
 
 
+def _normalize_images(batch: dict) -> dict:
+    """uint8 batches (shipped by the data pipeline to quarter IPC and
+    host→device transfer) are CLIP-normalized on device; float batches are
+    assumed pre-normalized. jit specializes on dtype so this is a static
+    branch."""
+    if batch["image"].dtype != jnp.uint8:
+        return batch
+    from segclip_tpu.data.transforms import CLIP_MEAN, CLIP_STD
+    batch = dict(batch)
+    img = batch["image"].astype(jnp.float32) / 255.0
+    batch["image"] = (img - jnp.asarray(CLIP_MEAN)) / jnp.asarray(CLIP_STD)
+    return batch
+
+
 def _loss_fn(params, model: SegCLIP, batch, rngs, axis_name):
     losses = model.apply({"params": params}, batch["input_ids"],
                          batch["attention_mask"], batch["image"],
@@ -77,6 +91,7 @@ def train_step_fn(state: TrainState, batch: dict, model: SegCLIP, tx,
     when axis_name is None). With grad_accum_steps > 1 the per-shard batch is
     split into micro-batches scanned sequentially, gradients averaged before
     the update (reference main_task_align.py:315-341 semantics)."""
+    batch = _normalize_images(batch)
     step_rng = jax.random.fold_in(state.rng, state.step)
     if axis_name is not None:
         # decorrelate Gumbel/MAE noise across shards

@@ -207,6 +207,55 @@ def test_batch_loader_corrupt_retry():
     assert len(batches) == 4                     # retries filled the holes
 
 
+def test_batch_loader_worker_count_invariance():
+    """Multiprocess decode must produce bit-identical batches to the
+    in-thread path (per-sample position-seeded rng)."""
+    import functools
+    cfg = DataConfig(datatype="synthetic", batch_size=8)
+    ds = build_dataset(cfg, use_seg=True, normalize=False)
+    sampler = ShardedEpochSampler(64, global_batch=8)
+    thread_loader = BatchLoader(ds, sampler, seed=3)
+    mp_loader = BatchLoader(
+        ds, sampler, seed=3, num_workers=2,
+        dataset_factory=functools.partial(build_dataset, cfg, True, False))
+    try:
+        a = list(thread_loader.epoch(1))
+        b = list(mp_loader.epoch(1))
+        assert len(a) == len(b) == 8
+        for ba, bb in zip(a, b):
+            assert ba["image"].dtype == np.uint8
+            for k in ba:
+                np.testing.assert_array_equal(ba[k], bb[k])
+        # pool survives into a second epoch
+        b2 = list(mp_loader.epoch(2))
+        a2 = list(thread_loader.epoch(2))
+        np.testing.assert_array_equal(a2[0]["image"], b2[0]["image"])
+    finally:
+        mp_loader.close()
+
+
+def test_batch_loader_mp_requires_factory():
+    ds = SyntheticDataset(length=8)
+    with pytest.raises(ValueError):
+        BatchLoader(ds, ShardedEpochSampler(8, global_batch=8),
+                    num_workers=2)
+
+
+def test_batch_loader_mp_worker_error_propagates():
+    import functools
+    cfg = DataConfig(datatype="nonexistent_shard", batch_size=4,
+                     data_dir="/nonexistent")
+    ds = SyntheticDataset(length=16)       # parent-side dataset is fine
+    loader = BatchLoader(
+        ds, ShardedEpochSampler(16, global_batch=4), num_workers=1,
+        dataset_factory=functools.partial(build_dataset, cfg))
+    try:
+        with pytest.raises(RuntimeError, match="data worker failed"):
+            list(loader.epoch(0))
+    finally:
+        loader.close()
+
+
 def test_build_dataset_concat():
     cfg = DataConfig(datatype="synthetic,synthetic,", batch_size=8)
     ds = build_dataset(cfg)

@@ -170,6 +170,27 @@ def test_nan_batch_skips_step(tiny_train_setup):
     assert int(new_state.opt_state.step) == before_opt_step
 
 
+def test_uint8_batch_normalized_on_device(tiny_train_setup):
+    """uint8 pipelines (normalize=False) must match host clip_normalize:
+    step(uint8 batch) == step(pre-normalized f32 batch)."""
+    from segclip_tpu.data.transforms import clip_normalize
+    from segclip_tpu.train.step import make_single_device_train_step
+    cfg, model, state, tx = tiny_train_setup
+    batch = _batch(8)
+    u8 = RNG.integers(0, 256, size=(8, 32, 32, 3)).astype(np.uint8)
+
+    b_u8 = dict(batch, image=u8)
+    b_f32 = dict(batch, image=clip_normalize(u8))
+
+    step = make_single_device_train_step(model, tx)
+    _, m_u8 = step(jax.tree.map(jnp.copy, state),
+                   {k: jnp.asarray(v) for k, v in b_u8.items()})
+    _, m_f32 = step(jax.tree.map(jnp.copy, state),
+                    {k: jnp.asarray(v) for k, v in b_f32.items()})
+    np.testing.assert_allclose(float(m_u8["loss"]), float(m_f32["loss"]),
+                               rtol=1e-5)
+
+
 def test_grad_accumulation_matches_full_batch(tiny_train_setup):
     """grads averaged over micro-batches == one full-batch step (fp32,
     modulo the per-micro rng folding — disable stochastic paths by using a
