@@ -11,14 +11,26 @@ Subcommands:
 Caption sources for `pack`:
   --captions-json  {"image_key": ["caption", ...], ...}
   --karpathy-json  Karpathy-split dataset_coco.json (images[].sentences[])
+
+All heavy subcommands take `--workers N` and fan the per-item work out to a
+spawned process pool (the reference uses a Queue map/reduce over worker
+processes, felzenszwalb_extraction_coco.py:31-101 and multiprocess packing,
+write_coco_images.py:18-87). Output bytes are IDENTICAL for every worker
+count: items are processed in a fixed order and the parent writes results
+in that order. `superpixels` additionally processes in resumable chunks —
+completed `<out>.partK` files are skipped on restart, so a CC3M-scale job
+(~3M images) survives interruption.
 """
 from __future__ import annotations
 
 import argparse
+import glob
 import io
 import json
+import multiprocessing as mp
 import os
 import sys
+import tarfile
 
 import numpy as np
 from PIL import Image
@@ -26,6 +38,17 @@ from PIL import Image
 from segclip_tpu.data.records import SgrReader, SgrWriter
 from segclip_tpu.data.superpixel import encode_seg_map, felzenszwalb
 from segclip_tpu.utils.logging import get_logger
+
+
+def _pool_imap(fn, tasks, workers: int, chunksize: int = 4):
+    """Ordered map over a spawned pool; workers<=1 runs in-process (same
+    code path, guaranteeing byte-identical output)."""
+    if workers <= 1:
+        yield from map(fn, tasks)
+        return
+    ctx = mp.get_context("spawn")
+    with ctx.Pool(workers) as pool:
+        yield from pool.imap(fn, tasks, chunksize=chunksize)
 
 
 def resize_short_side(img: Image.Image, short: int = 224) -> Image.Image:
@@ -55,101 +78,178 @@ def load_captions(args) -> dict:
     raise SystemExit("pack needs --captions-json or --karpathy-json")
 
 
+def _pack_one(task):
+    """(key, path, short_side, quality) → (key, jpeg|None, error|None)."""
+    key, path, short_side, quality = task
+    try:
+        img = Image.open(path).convert("RGB")
+        img = resize_short_side(img, short_side)
+        buf = io.BytesIO()
+        img.save(buf, format="JPEG", quality=quality)
+        return key, buf.getvalue(), None
+    except Exception as e:
+        return key, None, f"{type(e).__name__}: {e}"
+
+
 def cmd_pack(args):
     logger = get_logger()
     captions = load_captions(args)
     out_img = os.path.join(args.out_dir, f"{args.name}_images.sgr")
     out_cap = os.path.join(args.out_dir, f"{args.name}_captions.sgr")
 
-    n_ok, n_missing = 0, 0
+    items = sorted(captions.items())
+    tasks, n_missing = [], 0
+    for key, caps in items:
+        path = os.path.join(args.image_dir, key)
+        if os.path.exists(path):
+            tasks.append((key, path, args.short_side, args.quality))
+        else:
+            n_missing += 1
+
+    caps_by_key = dict(items)
+    n_ok = 0
     with SgrWriter(out_img) as wi, SgrWriter(out_cap) as wc:
-        for key, caps in sorted(captions.items()):
-            path = os.path.join(args.image_dir, key)
-            if not os.path.exists(path):
-                n_missing += 1
+        for key, jpeg, err in _pool_imap(_pack_one, tasks, args.workers,
+                                         chunksize=16):
+            if err is not None:
+                logger.warning("skip %s: %s", key, err)
                 continue
-            try:
-                img = Image.open(path).convert("RGB")
-                img = resize_short_side(img, args.short_side)
-                buf = io.BytesIO()
-                img.save(buf, format="JPEG", quality=args.quality)
-                wi.add(key, buf.getvalue())
-                wc.add(key, json.dumps(caps).encode())
-                n_ok += 1
-            except Exception as e:
-                logger.warning("skip %s: %s", key, e)
-            if n_ok % 1000 == 0 and n_ok:
+            wi.add(key, jpeg)
+            wc.add(key, json.dumps(caps_by_key[key]).encode())
+            n_ok += 1
+            if n_ok % 1000 == 0:
                 logger.info("packed %d images", n_ok)
     logger.info("done: %d packed, %d missing → %s", n_ok, n_missing, out_img)
+
+
+def _pack_one_tar(task):
+    """Process one webdataset tar into temp SGR shards.
+
+    (tar_path, tmp_dir, short_side, quality) →
+    (tar_path, tmp_img, tmp_cap, n_ok, n_bad). Each tar is independent, so
+    tar-level parallelism keeps output deterministic: the parent merges the
+    temp shards in sorted-tar order."""
+    tar_path, tmp_dir, short_side, quality = task
+    base = os.path.basename(tar_path)
+    tmp_img = os.path.join(tmp_dir, f"{base}_images.sgr")
+    tmp_cap = os.path.join(tmp_dir, f"{base}_captions.sgr")
+    n_ok, n_bad = 0, 0
+    pending: dict = {}
+    with SgrWriter(tmp_img) as wi, SgrWriter(tmp_cap) as wc, \
+            tarfile.open(tar_path) as tf:
+        for member in tf:
+            if not member.isfile():
+                continue
+            stem, ext = os.path.splitext(member.name)
+            if ext not in (".jpg", ".jpeg", ".png", ".txt"):
+                continue
+            data = tf.extractfile(member).read()
+            slot = pending.setdefault(stem, {})
+            slot["caption" if ext == ".txt" else "image"] = data
+            if "caption" in slot and "image" in slot:
+                try:
+                    img = Image.open(io.BytesIO(slot["image"]))
+                    img = resize_short_side(img.convert("RGB"), short_side)
+                    buf = io.BytesIO()
+                    img.save(buf, format="JPEG", quality=quality)
+                    wi.add(f"{base}/{stem}", buf.getvalue())
+                    caption = slot["caption"].decode(
+                        "utf-8", errors="replace").strip()
+                    wc.add(f"{base}/{stem}", json.dumps([caption]).encode())
+                    n_ok += 1
+                except Exception:
+                    n_bad += 1
+                del pending[stem]
+    return tar_path, tmp_img, tmp_cap, n_ok, n_bad + len(pending)
+
+
+def _append_sgr(writer: SgrWriter, path: str) -> None:
+    reader = SgrReader(path)
+    for i in range(len(reader)):
+        key, payload = reader.record(i)
+        writer.add(key, payload)
+    reader.close()
 
 
 def cmd_pack_tars(args):
     """webdataset-style tar shards (xxx.jpg + xxx.txt members) → SGR shards
     (preprocess/GCC3M/extraxt_images_from_tar.py + generate_lmdb_from_pickles
-    equivalents, collapsed into one pass)."""
-    import glob
-    import tarfile
+    equivalents, collapsed into one pass). Parallelism is per-tar."""
     logger = get_logger()
     out_img = os.path.join(args.out_dir, f"{args.name}_images.sgr")
     out_cap = os.path.join(args.out_dir, f"{args.name}_captions.sgr")
     tars = sorted(glob.glob(os.path.join(args.tar_dir, "*.tar")))
     if not tars:
         raise SystemExit(f"no .tar files under {args.tar_dir}")
-    n_ok, n_bad = 0, 0
+
+    tmp_dir = os.path.join(args.out_dir, f".{args.name}_tars_tmp")
+    os.makedirs(tmp_dir, exist_ok=True)
+    tasks = [(t, tmp_dir, args.short_side, args.quality) for t in tars]
+    n_ok = n_bad = 0
     with SgrWriter(out_img) as wi, SgrWriter(out_cap) as wc:
-        for tar_path in tars:
-            pending: dict = {}
-            with tarfile.open(tar_path) as tf:
-                for member in tf:
-                    if not member.isfile():
-                        continue
-                    stem, ext = os.path.splitext(member.name)
-                    if ext not in (".jpg", ".jpeg", ".png", ".txt"):
-                        continue
-                    data = tf.extractfile(member).read()
-                    slot = pending.setdefault(stem, {})
-                    slot["caption" if ext == ".txt" else "image"] = data
-                    if "caption" in slot and "image" in slot:
-                        try:
-                            img = Image.open(io.BytesIO(slot["image"]))
-                            img = resize_short_side(img.convert("RGB"),
-                                                    args.short_side)
-                            buf = io.BytesIO()
-                            img.save(buf, format="JPEG",
-                                     quality=args.quality)
-                            key = f"{os.path.basename(tar_path)}/{stem}"
-                            wi.add(key, buf.getvalue())
-                            caption = slot["caption"].decode(
-                                "utf-8", errors="replace").strip()
-                            wc.add(key, json.dumps([caption]).encode())
-                            n_ok += 1
-                        except Exception as e:
-                            n_bad += 1
-                            logger.warning("skip %s: %s", stem, e)
-                        del pending[stem]
-            if pending:
-                n_bad += len(pending)
-                logger.warning("%s: %d unpaired members dropped",
-                               os.path.basename(tar_path), len(pending))
+        for tar_path, tmp_img, tmp_cap, ok, bad in _pool_imap(
+                _pack_one_tar, tasks, args.workers, chunksize=1):
+            _append_sgr(wi, tmp_img)
+            _append_sgr(wc, tmp_cap)
+            os.remove(tmp_img)
+            os.remove(tmp_cap)
+            n_ok += ok
+            n_bad += bad
             logger.info("%s done (%d packed, %d bad so far)",
                         os.path.basename(tar_path), n_ok, n_bad)
+    os.rmdir(tmp_dir)
     logger.info("packed %d pairs → %s", n_ok, out_img)
+
+
+def _superpixel_chunk(task):
+    """Compute one resumable chunk [start, end) of the images shard into
+    `<out>.partK`. A complete part file is skipped (resume); the write is
+    tmp+rename so an interrupted chunk never looks complete."""
+    images_path, part_path, start, end, scale, sigma, min_size = task
+    if os.path.exists(part_path):
+        return part_path, end - start, True
+    reader = SgrReader(images_path)
+    tmp = part_path + ".tmp"
+    with SgrWriter(tmp) as w:
+        for i in range(start, end):
+            key, jpeg = reader.record(i)
+            img = np.asarray(Image.open(io.BytesIO(jpeg)).convert("RGB"))
+            labels = felzenszwalb(img, scale=scale, sigma=sigma,
+                                  min_size=min_size)
+            w.add(key, encode_seg_map(labels))
+    reader.close()
+    os.replace(tmp, part_path)
+    return part_path, end - start, False
 
 
 def cmd_superpixels(args):
     logger = get_logger()
-    images = SgrReader(os.path.join(args.data_dir,
-                                    f"{args.name}_images.sgr"))
+    images_path = os.path.join(args.data_dir, f"{args.name}_images.sgr")
+    n = len(SgrReader(images_path))
     out = os.path.join(args.data_dir, f"{args.name}_seg.sgr")
+
+    chunk = max(1, args.chunk_size)
+    bounds = [(s, min(s + chunk, n)) for s in range(0, n, chunk)]
+    tasks = [(images_path, f"{out}.part{k}", s, e,
+              args.scale, args.sigma, args.min_size)
+             for k, (s, e) in enumerate(bounds)]
+
+    done = 0
+    parts = []
+    for part_path, n_items, resumed in _pool_imap(_superpixel_chunk, tasks,
+                                                  args.workers, chunksize=1):
+        parts.append(part_path)
+        done += n_items
+        logger.info("superpixels %d/%d%s", done, n,
+                    " (chunk resumed)" if resumed else "")
+
+    # reduce: merge parts in index order, then clean up
     with SgrWriter(out) as w:
-        for i in range(len(images)):
-            key, jpeg = images.record(i)
-            img = np.asarray(Image.open(io.BytesIO(jpeg)).convert("RGB"))
-            labels = felzenszwalb(img, scale=args.scale, sigma=args.sigma,
-                                  min_size=args.min_size)
-            w.add(key, encode_seg_map(labels))
-            if (i + 1) % 500 == 0:
-                logger.info("superpixels %d/%d", i + 1, len(images))
+        for part_path in sorted(parts,
+                                key=lambda p: int(p.rsplit("part", 1)[1])):
+            _append_sgr(w, part_path)
+    for part_path in parts:
+        os.remove(part_path)
     logger.info("wrote %s", out)
 
 
@@ -200,6 +300,12 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
 
+    def add_workers(parser):
+        parser.add_argument(
+            "--workers", type=int, default=1,
+            help="worker processes (-1 = cpu_count); output bytes are "
+                 "identical for any value")
+
     p = sub.add_parser("pack")
     p.add_argument("--name", required=True)
     p.add_argument("--image-dir", required=True)
@@ -210,6 +316,7 @@ def main(argv=None):
     p.add_argument("--out-dir", required=True)
     p.add_argument("--short-side", type=int, default=224)
     p.add_argument("--quality", type=int, default=90)
+    add_workers(p)
     p.set_defaults(fn=cmd_pack)
 
     p = sub.add_parser("pack-tars")
@@ -219,6 +326,7 @@ def main(argv=None):
     p.add_argument("--out-dir", required=True)
     p.add_argument("--short-side", type=int, default=224)
     p.add_argument("--quality", type=int, default=90)
+    add_workers(p)
     p.set_defaults(fn=cmd_pack_tars)
 
     p = sub.add_parser("superpixels")
@@ -227,6 +335,9 @@ def main(argv=None):
     p.add_argument("--scale", type=float, default=224.0)
     p.add_argument("--sigma", type=float, default=0.9)
     p.add_argument("--min-size", type=int, default=224)
+    p.add_argument("--chunk-size", type=int, default=2000,
+                   help="records per resumable chunk")
+    add_workers(p)
     p.set_defaults(fn=cmd_superpixels)
 
     p = sub.add_parser("coco-gt")
@@ -236,6 +347,8 @@ def main(argv=None):
     p.set_defaults(fn=cmd_coco_gt)
 
     args = ap.parse_args(argv)
+    if getattr(args, "workers", 1) < 0:
+        args.workers = os.cpu_count() or 1
     args.fn(args)
 
 

@@ -11,6 +11,7 @@ def _args(**over):
         freeze_text_layer_num=0, use_seglabel=True,
         use_vision_mae_recon=True, use_text_mae_recon=False,
         init_model=None, resume_model=None, do_resume=False, n_display=50,
+        num_workers=0,
         grad_accum_steps=1, profile=None, seed=42, output_dir="out",
         eval_each_epoch=False, eval_data_root=None, opts=[])
     defaults.update(over)
