@@ -2,7 +2,19 @@
 
 Measures full SegCLIP ViT-B/16 training-step throughput (all reference
 losses: global-batch InfoNCE + superpixel-KL + vision MAE — the released
-recipe, README.md:120-123) in images/sec/chip on synthetic data.
+recipe, README.md:120-123) in images/sec/chip, twice:
+
+  1. device-only: synthetic arrays already in host RAM (the model/compiler
+     ceiling) — this is the headline `value`;
+  2. end-to-end: batches decoded from packed SGR records through the real
+     BatchLoader (JPEG decode + crop + superpixel crop + tokenize), i.e.
+     what a real pretrain run sustains on this host. A small JPEG corpus is
+     generated once and cached in /tmp.
+
+Also emits ms_per_step, achieved TFLOP/s (XLA cost analysis of the compiled
+step) and MFU against the chip's measured 154 TFLOP/s bf16, plus the raw
+host decode rate, so FLOP-efficiency and input-pipeline regressions are
+visible independent of batch size.
 
 Baseline denominator: the driver's north star is "beat 4×A100 pretrain
 img/s on a v5e-8" (BASELINE.json). A100 CLIP-ViT-B/16+MAE pretrain runs
@@ -13,21 +25,76 @@ Prints exactly ONE JSON line.
 """
 from __future__ import annotations
 
+import io
 import json
+import os
 import time
 
 import numpy as np
 
 BASELINE_IMG_S_PER_CHIP = 300.0
+CHIP_TFLOPS_BF16 = 154.0           # measured on 4k matmuls (docs/PERF.md)
+CORPUS_DIR = "/tmp/segclip_bench_data"
+CORPUS_IMAGES = 512
+CORPUS_CAPS_PER_IMAGE = 2
+
+
+def ensure_corpus() -> str:
+    """Generate (once) a packed SGR corpus of smooth synthetic JPEGs with
+    captions and felzenszwalb superpixel maps; cached across runs."""
+    marker = os.path.join(CORPUS_DIR, f"ok_{CORPUS_IMAGES}")
+    if os.path.exists(marker):
+        return CORPUS_DIR
+    from PIL import Image
+    from segclip_tpu.data.records import SgrWriter
+    from segclip_tpu.data.superpixel import encode_seg_map, felzenszwalb
+    os.makedirs(CORPUS_DIR, exist_ok=True)
+    rng = np.random.default_rng(7)
+    words = ("photo of a dog cat tree car house boat sky sea grass road "
+             "bird person table light city hill snow leaf sand").split()
+    with SgrWriter(os.path.join(CORPUS_DIR, "bench_images.sgr")) as wi, \
+            SgrWriter(os.path.join(CORPUS_DIR, "bench_captions.sgr")) as wc, \
+            SgrWriter(os.path.join(CORPUS_DIR, "bench_seg.sgr")) as ws:
+        for i in range(CORPUS_IMAGES):
+            h, w = 224, int(rng.integers(224, 321))
+            # low-frequency content → realistic JPEG size/decode cost
+            small = rng.integers(0, 256, (14, 14, 3)).astype(np.uint8)
+            img = Image.fromarray(small).resize((w, h), Image.BICUBIC)
+            buf = io.BytesIO()
+            img.save(buf, format="JPEG", quality=90)
+            key = f"b{i:05d}"
+            wi.add(key, buf.getvalue())
+            caps = [" ".join(rng.choice(words, size=8))
+                    for _ in range(CORPUS_CAPS_PER_IMAGE)]
+            wc.add(key, json.dumps(caps).encode())
+            labels = felzenszwalb(np.asarray(img), scale=224.0, sigma=0.9,
+                                  min_size=224)
+            ws.add(key, encode_seg_map(labels))
+    with open(marker, "w") as f:
+        f.write("ok")
+    return CORPUS_DIR
+
+
+def step_flops(step, state, data) -> float:
+    """Total FLOPs of the compiled train step via XLA cost analysis."""
+    try:
+        comp = step.lower(state, data).compile()
+        cost = comp.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost["flops"])
+    except Exception:
+        return float("nan")
 
 
 def main():
     from segclip_tpu.utils.jax_setup import setup_jax
     setup_jax()
     import jax
-    from segclip_tpu.config import Config, ModelConfig, OptimConfig
+    from segclip_tpu.config import Config, DataConfig, ModelConfig, OptimConfig
     from segclip_tpu.models.segclip import init_segclip
-    from segclip_tpu.parallel.mesh import make_mesh, shard_batch
+    from segclip_tpu.parallel.mesh import (make_mesh, prefetch_to_device,
+                                           shard_batch)
     from segclip_tpu.train.step import (create_train_state,
                                         make_sharded_train_step)
 
@@ -50,12 +117,18 @@ def main():
     for i, n in enumerate(lens):
         ids[i, 1:n] = rng.integers(1, 49000, size=n - 1)
         ids[i, n] = 49407
-    data = shard_batch(mesh, {
+    # uint8 images: the real pipeline's schema (normalized on device)
+    host_batch = {
         "input_ids": ids,
         "attention_mask": (ids != 0).astype(np.int32),
-        "image": rng.normal(size=(batch, 224, 224, 3)).astype(np.float32) * 0.3,
-        "image_seg": rng.integers(0, 32, size=(batch, 14, 14)).astype(np.int32),
-    })
+        "image": rng.integers(0, 256, size=(batch, 224, 224, 3)
+                              ).astype(np.uint8),
+        "image_seg": rng.integers(0, 32, size=(batch, 14, 14)
+                                  ).astype(np.int32),
+    }
+    data = shard_batch(mesh, host_batch)
+
+    flops = step_flops(step, state, data)
 
     # Warm up twice: the first call compiles, the second recompiles for the
     # steady-state input sharding. float() host fetches are the only honest
@@ -73,11 +146,53 @@ def main():
 
     img_s = batch * n_steps / dt
     img_s_chip = img_s / n_dev
+    ms_per_step = dt / n_steps * 1e3
+    tflops_s = flops / (dt / n_steps) / 1e12
+    mfu = tflops_s / (CHIP_TFLOPS_BF16 * n_dev)
+
+    # ---- end-to-end: records → BatchLoader → step -----------------------
+    from segclip_tpu.data.pipeline import (BatchLoader, PairRecordDataset,
+                                           ShardedEpochSampler,
+                                           _assemble_batch)
+    corpus = ensure_corpus()
+    ds = PairRecordDataset("bench", corpus, max_words=cfg_m.max_words,
+                           use_seg=True, normalize=False)
+    sampler = ShardedEpochSampler(len(ds), global_batch=batch)
+    loader = BatchLoader(ds, sampler, seed=0, prefetch=4)
+
+    # host-only decode rate (one batch, pure pipeline cost)
+    t0 = time.perf_counter()
+    _assemble_batch(ds, 0, 0, 0, 0, sampler.epoch_indices(0)[0])
+    host_rate = batch / (time.perf_counter() - t0)
+
+    # warm one loader-fed step (prefetch fill + any residual compile),
+    # then time the remaining steps of the epoch (the production path:
+    # decode thread → device-prefetch thread → step)
+    e2e_steps = 0
+    t0 = e2e_dt = 0.0
+    for i, b in enumerate(prefetch_to_device(loader.epoch(1), mesh)):
+        state, metrics = step(state, b)
+        if i == 0:
+            float(metrics["loss"])
+            t0 = time.perf_counter()
+            continue
+        e2e_steps += 1
+    float(metrics["loss"])
+    e2e_dt = time.perf_counter() - t0
+    loader.close()
+    e2e_img_s_chip = batch * e2e_steps / e2e_dt / n_dev
+
     print(json.dumps({
         "metric": "pretrain_images_per_sec_per_chip",
         "value": round(img_s_chip, 2),
         "unit": "img/s/chip",
         "vs_baseline": round(img_s_chip / BASELINE_IMG_S_PER_CHIP, 3),
+        "ms_per_step": round(ms_per_step, 1),
+        "tflops_per_sec": round(tflops_s, 1),
+        "mfu_vs_calibrated_154": round(mfu, 3),
+        "e2e_img_s_per_chip": round(e2e_img_s_chip, 2),
+        "host_decode_samples_per_sec": round(host_rate, 1),
+        "host_cores": os.cpu_count(),
     }))
 
 

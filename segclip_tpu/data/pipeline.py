@@ -124,13 +124,15 @@ class PairRecordDataset:
         from segclip_tpu.data.tokenizer import tokenize_with_mask
         ids, mask = tokenize_with_mask(self.tokenizer, caption,
                                        self.max_words)
+        # NB: the crop coord stays internal (superpixel cropping below) —
+        # shipping it in the batch would change the step's input pytree vs
+        # synthetic batches and trigger a spurious recompile.
         out = {
             "input_ids": ids,
             "attention_mask": mask,
             # normalize=False ships uint8; the train step normalizes on
             # device (4× smaller IPC + PCIe/tunnel transfer).
             "image": clip_normalize(arr) if self.normalize else arr,
-            "coord": coord,
         }
 
         if self.seg is not None:
@@ -177,7 +179,6 @@ class SyntheticDataset:
             "input_ids": ids,
             "attention_mask": (ids != 0).astype(np.int32),
             "image": image,
-            "coord": np.zeros(4, np.float32),
         }
         if self.use_seg:
             out["image_seg"] = rng.integers(

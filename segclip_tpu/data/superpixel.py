@@ -122,9 +122,11 @@ def crop_seg_from_cache(seg_full: np.ndarray, coord: np.ndarray,
     if flip_v:
         window = window[::-1, :]
 
-    resized = _nearest_resize(window.astype(np.int64), img_size)
+    resized = _nearest_resize(window, img_size)
     p = patch_size
     g = img_size // p
     patches = resized.reshape(g, p, g, p).transpose(0, 2, 1, 3)
-    means = patches.reshape(g, g, p * p).mean(axis=-1)
-    return means.astype(np.int64)
+    # integer mean: labels are non-negative, so truncated float mean ==
+    # exact integer floor division (and ~3× cheaper on the host hot path)
+    sums = patches.reshape(g, g, p * p).astype(np.int64).sum(axis=-1)
+    return sums // (p * p)

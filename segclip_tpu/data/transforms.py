@@ -67,8 +67,12 @@ def random_resized_crop_coord(
         coord = np.array([j / (width - 1), i / (height - 1),
                           (j + w - 1) / (width - 1),
                           (i + h - 1) / (height - 1)], np.float32)
+    # crop() THEN resize (not resize(box=...), whose bicubic kernel reads
+    # pixels outside the box — not torchvision resized_crop semantics).
+    if img.mode != "RGB":
+        img = img.convert("RGB")
     crop = img.crop((j, i, j + w, i + h)).resize((size, size), Image.BICUBIC)
-    return np.asarray(crop.convert("RGB")), coord
+    return np.asarray(crop), coord
 
 
 def eval_transform(img: Image.Image, size: int = 224) -> np.ndarray:
