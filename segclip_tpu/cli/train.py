@@ -45,8 +45,6 @@ def build_config(args) -> Config:
 
 
 def main(argv=None):
-    from segclip_tpu.utils.jax_setup import setup_jax
-    setup_jax()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--datatype", default="synthetic",
                     help='comma-joined dataset names, e.g. "cc,coco," '
@@ -81,9 +79,20 @@ def main(argv=None):
     ap.add_argument("--eval-each-epoch", action="store_true")
     ap.add_argument("--eval-data-root", default=None,
                     help="VOC root for per-epoch zero-shot eval")
+    ap.add_argument("--dist-coordinator", default=None, metavar="HOST:PORT",
+                    help="multi-host coordinator address "
+                         "(torch.distributed.launch equivalent); also "
+                         "settable via SEGCLIP_DIST_* env")
+    ap.add_argument("--dist-num-processes", type=int, default=None)
+    ap.add_argument("--dist-process-id", type=int, default=None)
     ap.add_argument("--opts", nargs="*", default=[],
                     help="config overrides, e.g. model.vision_width=256")
     args = ap.parse_args(argv)
+
+    from segclip_tpu.utils.jax_setup import setup_jax
+    setup_jax(coordinator=args.dist_coordinator,
+              num_processes=args.dist_num_processes,
+              process_id=args.dist_process_id)
 
     cfg = build_config(args)
     logger = get_logger(cfg.train.output_dir)

@@ -21,7 +21,8 @@ from segclip_tpu.checkpoint.orbax_io import (auto_resume_path,
 from segclip_tpu.data.pipeline import (BatchLoader, ShardedEpochSampler,
                                        build_dataset)
 from segclip_tpu.models.segclip import init_segclip
-from segclip_tpu.parallel.mesh import make_mesh, shard_batch
+from segclip_tpu.parallel.mesh import (make_mesh, prefetch_to_device,
+                                       shard_batch)
 from segclip_tpu.train.optimizer import scheduled_lr
 from segclip_tpu.train.step import (create_train_state,
                                     make_sharded_train_step)
@@ -77,15 +78,17 @@ def train(cfg: Config, init_model: Optional[str] = None,
                                               seed=cfg.train.seed)
     del params
 
+    mesh = make_mesh(cfg.train.data_parallelism)
+
     start_epoch = 0
     if resume:
         path = cfg.train.resume or auto_resume_path(cfg.train.output_dir)
         if path:
-            state, last_epoch = restore_checkpoint(path, state)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            state, last_epoch = restore_checkpoint(
+                path, state, sharding=NamedSharding(mesh, P()))
             start_epoch = last_epoch + 1
             logger.info("resumed from %s → epoch %d", path, start_epoch)
-
-    mesh = make_mesh(cfg.train.data_parallelism)
     step_fn = make_sharded_train_step(
         mesh, model, tx, max_grad_norm=cfg.optim.max_grad_norm,
         grad_accum_steps=cfg.train.grad_accum_steps, trainable=trainable)
@@ -97,8 +100,9 @@ def train(cfg: Config, init_model: Optional[str] = None,
         window_start = time.time()
         n_steps = 0
 
-        for batch in loader.epoch(epoch):
-            state, metrics = step_fn(state, shard_batch(mesh, batch))
+        for batch in prefetch_to_device(loader.epoch(epoch), mesh,
+                                        depth=cfg.data.device_prefetch):
+            state, metrics = step_fn(state, batch)
             gstep = int(state.step)
             if gstep % cfg.train.log_every == 0:
                 loss = float(metrics["loss"])          # host fetch = sync
@@ -129,15 +133,26 @@ def train(cfg: Config, init_model: Optional[str] = None,
             ckpts.append(path)
             logger.info("checkpoint saved to %s", path)
 
-        # The eval segmenter jits without the global mesh; its computation
-        # is single-process only.
-        if eval_fn is not None and cfg.train.eval_each_epoch and n_hosts == 1:
-            try:
-                miou = eval_fn(model, state.params)
+        # Per-epoch zero-shot eval: host 0 runs the (local-device) segmenter
+        # and the scalar is broadcast to every host — the reference's rank-0
+        # multi_gpu_test + broadcast_object_list (main_seg_zeroshot.py:160).
+        # Non-zero hosts block at the broadcast barrier meanwhile.
+        if eval_fn is not None and cfg.train.eval_each_epoch:
+            miou = float("nan")
+            if host == 0:
+                try:
+                    miou = float(eval_fn(model, state.params))
+                except Exception as e:       # eval must not kill training
+                    logger.warning("per-epoch eval failed: %s", e)
+            if n_hosts > 1:
+                from jax.experimental import multihost_utils
+                miou = float(multihost_utils.broadcast_one_to_all(
+                    np.asarray(miou, np.float32)))
+            if not np.isnan(miou):
                 logger.info("Epoch %d zero-shot mIoU: %.2f", epoch + 1, miou)
-                metrics_writer.write(int(state.step), epoch=epoch, miou=miou)
-            except Exception as e:           # eval must not kill training
-                logger.warning("per-epoch eval failed: %s", e)
+                if host == 0:
+                    metrics_writer.write(int(state.step), epoch=epoch,
+                                         miou=miou)
 
     loader.close()
     return {"epochs_run": cfg.train.epochs - start_epoch,

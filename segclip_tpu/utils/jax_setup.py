@@ -4,11 +4,54 @@ from __future__ import annotations
 import os
 
 
-def setup_jax(cache_dir: str | None = None) -> None:
-    """Enable the persistent compilation cache (first compiles of the big
-    train/eval graphs take minutes on tunneled backends; the cache makes
-    every later process start warm)."""
+def maybe_initialize_distributed(coordinator: str | None = None,
+                                 num_processes: int | None = None,
+                                 process_id: int | None = None) -> bool:
+    """Bring up the multi-host runtime (the reference's
+    torch.distributed.launch + NCCL init-at-import,
+    main_task_align.py:21 / main_seg_zeroshot.py:307).
+
+    Explicit args (CLI flags) win; otherwise the SEGCLIP_DIST_COORDINATOR /
+    SEGCLIP_DIST_NPROCS / SEGCLIP_DIST_PROCID env triple is used; otherwise
+    SEGCLIP_DIST=1 requests JAX's automatic cluster detection (TPU pod
+    metadata / SLURM). Single-host runs (nothing set) skip initialization —
+    `jax.process_count()` stays 1. Returns True if initialize() was called.
+
+    On CPU (the 2-process simulation in tests/test_multihost.py)
+    cross-process collectives need the gloo backend — selected here before
+    first jax use.
+    """
     import jax
+    coordinator = coordinator or os.environ.get("SEGCLIP_DIST_COORDINATOR")
+    if num_processes is None and "SEGCLIP_DIST_NPROCS" in os.environ:
+        num_processes = int(os.environ["SEGCLIP_DIST_NPROCS"])
+    if process_id is None and "SEGCLIP_DIST_PROCID" in os.environ:
+        process_id = int(os.environ["SEGCLIP_DIST_PROCID"])
+
+    if coordinator:
+        try:
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        except Exception:
+            pass                      # non-CPU backends don't need it
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+        return True
+    if os.environ.get("SEGCLIP_DIST") == "1":
+        jax.distributed.initialize()   # auto-detect (TPU pod / SLURM)
+        return True
+    return False
+
+
+def setup_jax(cache_dir: str | None = None,
+              coordinator: str | None = None,
+              num_processes: int | None = None,
+              process_id: int | None = None) -> None:
+    """Multi-host init (when configured) + the persistent compilation cache
+    (first compiles of the big train/eval graphs take minutes on tunneled
+    backends; the cache makes every later process start warm)."""
+    import jax
+    maybe_initialize_distributed(coordinator, num_processes, process_id)
     cache = cache_dir or os.environ.get("SEGCLIP_JAX_CACHE",
                                         "/tmp/segclip_jax_cache")
     os.makedirs(cache, exist_ok=True)

@@ -1,0 +1,95 @@
+"""Worker process for the 2-process × 4-device CPU distributed test.
+
+Run as:  python tests/multihost_worker.py <process_id> <port> <out_json>
+
+Simulates a real multi-host launch: each process owns 4 CPU devices, joins
+the cluster via jax.distributed.initialize (gloo collectives), builds the
+GLOBAL 8-device mesh, feeds its own half of a fixed global batch through
+the sharded train step, and participates in the host-0 eval broadcast —
+the flow a multi-host pod run of cli/train.py performs.
+"""
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    process_id = int(sys.argv[1])
+    port = int(sys.argv[2])
+    out_json = sys.argv[3]
+
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    from segclip_tpu.utils.jax_setup import maybe_initialize_distributed
+    assert maybe_initialize_distributed(
+        coordinator=f"localhost:{port}", num_processes=2,
+        process_id=process_id)
+
+    assert jax.process_count() == 2, jax.process_count()
+    assert jax.device_count() == 8
+    assert jax.local_device_count() == 4
+
+    import numpy as np
+    import jax.numpy as jnp
+    from segclip_tpu.config import Config, ModelConfig, OptimConfig
+    from segclip_tpu.models.segclip import init_segclip
+    from segclip_tpu.parallel.mesh import make_mesh, shard_batch
+    from segclip_tpu.train.step import (create_train_state,
+                                        make_sharded_train_step)
+
+    tiny = ModelConfig(
+        image_resolution=32, vision_patch_size=8, vision_width=64,
+        vision_layers=4, first_stage_layer=3, group_num=4, cross_layer=1,
+        context_length=16, vocab_size=512, transformer_width=64,
+        transformer_layers=2, embed_dim=32, max_words=12,
+        use_vision_mae_recon=True, use_text_mae_recon=False,
+        use_seglabel=True, mae_decoder_depth=1, mae_decoder_num_heads=2,
+        compute_dtype="float32")
+    cfg = Config(model=tiny, optim=OptimConfig(lr=1e-3, lower_lr=1e-4))
+
+    # the same fixed global batch every process derives (seed-determined)
+    rng = np.random.default_rng(5)
+    B = 16
+    ids = np.zeros((B, tiny.max_words), np.int32)
+    ids[:, 0] = 510
+    ids[:, 1:4] = rng.integers(1, 500, size=(B, 3))
+    ids[:, 4] = 511
+    global_batch = {
+        "input_ids": ids,
+        "attention_mask": (ids != 0).astype(np.int32),
+        "image": rng.normal(size=(B, 32, 32, 3)).astype(np.float32),
+        "image_seg": rng.integers(0, 3, size=(B, 4, 4)).astype(np.int32),
+    }
+    # this process's contiguous half (ShardedEpochSampler layout)
+    lo, hi = process_id * (B // 2), (process_id + 1) * (B // 2)
+    local_batch = {k: v[lo:hi] for k, v in global_batch.items()}
+
+    model, params = init_segclip(tiny, seed=0)
+    state, tx, trainable = create_train_state(cfg, params, t_total=50,
+                                              seed=1)
+    mesh = make_mesh()            # global: 2 processes × 4 devices
+    step = make_sharded_train_step(mesh, model, tx, trainable=trainable)
+
+    losses = []
+    for _ in range(3):
+        state, metrics = step(state, shard_batch(mesh, local_batch))
+        losses.append(float(metrics["loss"]))
+
+    # host-0 eval + scalar broadcast (train/loop.py per-epoch flow)
+    from jax.experimental import multihost_utils
+    miou = 42.5 if jax.process_index() == 0 else float("nan")
+    miou = float(multihost_utils.broadcast_one_to_all(
+        np.asarray(miou, np.float32)))
+
+    with open(out_json, "w") as f:
+        json.dump({"process_id": process_id, "losses": losses,
+                   "miou": miou,
+                   "process_count": jax.process_count()}, f)
+
+
+if __name__ == "__main__":
+    main()

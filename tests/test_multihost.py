@@ -1,0 +1,101 @@
+"""True multi-PROCESS distributed test: 2 processes × 4 CPU devices each
+join one jax.distributed cluster (the simulated equivalent of a 2-host TPU
+pod), train over the global mesh, and broadcast the host-0 eval scalar.
+
+This validates what xla_force_host_platform_device_count alone cannot: the
+jax.distributed.initialize bring-up (utils/jax_setup.py), cross-process
+collectives in the sharded step, make_array_from_process_local_data batch
+assembly (parallel/mesh.py:50-52), and the eval broadcast in the train
+loop. Equivalence oracle: the same global batch on this process's OWN
+8-device single-process mesh.
+"""
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tests", "multihost_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_training_matches_single_process(tmp_path):
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)           # workers set their own (4 devices)
+    env.pop("JAX_PLATFORMS", None)
+    procs, outs = [], []
+    for pid in range(2):
+        out = tmp_path / f"result_{pid}.json"
+        outs.append(out)
+        procs.append(subprocess.Popen(
+            [sys.executable, WORKER, str(pid), str(port), str(out)],
+            cwd=REPO, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
+    logs = []
+    for p in procs:
+        stdout, _ = p.communicate(timeout=540)
+        logs.append(stdout.decode(errors="replace"))
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{log[-4000:]}"
+
+    results = [json.loads(out.read_text()) for out in outs]
+    assert all(r["process_count"] == 2 for r in results)
+    # identical losses on both processes (replicated out-spec)
+    np.testing.assert_allclose(results[0]["losses"], results[1]["losses"],
+                               rtol=1e-6)
+    # the host-0 eval scalar reached process 1 through the broadcast
+    assert results[0]["miou"] == results[1]["miou"] == 42.5
+
+    # --- single-process oracle on this process's own 8-device mesh -------
+    import jax
+    from segclip_tpu.config import Config, ModelConfig, OptimConfig
+    from segclip_tpu.models.segclip import init_segclip
+    from segclip_tpu.parallel.mesh import make_mesh, shard_batch
+    from segclip_tpu.train.step import (create_train_state,
+                                        make_sharded_train_step)
+
+    tiny = ModelConfig(
+        image_resolution=32, vision_patch_size=8, vision_width=64,
+        vision_layers=4, first_stage_layer=3, group_num=4, cross_layer=1,
+        context_length=16, vocab_size=512, transformer_width=64,
+        transformer_layers=2, embed_dim=32, max_words=12,
+        use_vision_mae_recon=True, use_text_mae_recon=False,
+        use_seglabel=True, mae_decoder_depth=1, mae_decoder_num_heads=2,
+        compute_dtype="float32")
+    cfg = Config(model=tiny, optim=OptimConfig(lr=1e-3, lower_lr=1e-4))
+
+    rng = np.random.default_rng(5)
+    B = 16
+    ids = np.zeros((B, tiny.max_words), np.int32)
+    ids[:, 0] = 510
+    ids[:, 1:4] = rng.integers(1, 500, size=(B, 3))
+    ids[:, 4] = 511
+    batch = {
+        "input_ids": ids,
+        "attention_mask": (ids != 0).astype(np.int32),
+        "image": rng.normal(size=(B, 32, 32, 3)).astype(np.float32),
+        "image_seg": rng.integers(0, 3, size=(B, 4, 4)).astype(np.int32),
+    }
+
+    model, params = init_segclip(tiny, seed=0)
+    state, tx, trainable = create_train_state(cfg, params, t_total=50,
+                                              seed=1)
+    mesh = make_mesh()
+    step = make_sharded_train_step(mesh, model, tx, trainable=trainable)
+    want = []
+    for _ in range(3):
+        state, metrics = step(state, shard_batch(mesh, batch))
+        want.append(float(metrics["loss"]))
+
+    # 2-process global mesh == 1-process 8-device mesh, same global batch
+    np.testing.assert_allclose(results[0]["losses"], want, rtol=1e-5)
