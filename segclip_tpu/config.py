@@ -115,6 +115,9 @@ class DataConfig:
     # Decode worker processes (torch DataLoader num_workers equivalent);
     # 0 = one background thread, -1 = cpu_count - 1.
     num_workers: int = 0
+    # Batches transferred to device ahead of consumption (overlaps host→
+    # device copies with decode and device compute).
+    device_prefetch: int = 2
     max_words: int = 32
     data_dir: str = ""
     crop_scale: Tuple[float, float] = (0.5, 1.0)

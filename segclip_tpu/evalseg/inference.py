@@ -212,68 +212,120 @@ class ZeroShotSegmenter:
             self._jitted[key] = fn
         return self._jitted[key]
 
+    def _make_slide_fn(self, n_bucket: int, hb: int, wb: int, ohb: int,
+                       owb: int):
+        """Raw (unjitted) shape-generic fused predict for one image:
+        decode all windows, accumulate, bilinear-upsample, argmax. Also the
+        vmap target for the mesh-sharded batch evaluator."""
+        gh = gw = self.crop // self.patch
+        crop = self.crop
+        decode = functools.partial(_decode_crops, model=self.model,
+                                   with_bg=self.with_bg,
+                                   bg_thresh=self.bg_thresh,
+                                   out_h=crop, out_w=crop, gh=gh, gw=gw)
+
+        def linear_matrix(out_pad, in_pad, n_out, n_in):
+            """torch-convention bilinear weights built on device from
+            traced sizes; rows/cols beyond (n_out, n_in) are zero."""
+            i = jax.lax.broadcasted_iota(jnp.float32,
+                                         (out_pad, in_pad), 0)
+            j = jax.lax.broadcasted_iota(jnp.float32,
+                                         (out_pad, in_pad), 1)
+            src = (i + 0.5) * (n_in / n_out) - 0.5
+            src = jnp.clip(src, 0.0, n_in - 1.0)
+            wgt = jnp.maximum(0.0, 1.0 - jnp.abs(src - j))
+            return jnp.where((i < n_out) & (j < n_in), wgt, 0.0)
+
+        def fn(params, image, text_bank, ys, xs, valid, h, w, oh, ow):
+            crops = jnp.stack([
+                jax.lax.dynamic_slice(image, (ys[i], xs[i], 0),
+                                      (crop, crop, 3))
+                for i in range(n_bucket)])
+            logits = decode(params, crops, text_bank)   # (N, C, c, c)
+            canvas = jnp.zeros((self.num_classes, hb, wb), jnp.float32)
+            count = jnp.zeros((1, hb, wb), jnp.float32)
+            for i in range(n_bucket):
+                patch = logits[i] * valid[i]
+                cur = jax.lax.dynamic_slice(
+                    canvas, (0, ys[i], xs[i]),
+                    (self.num_classes, crop, crop))
+                canvas = jax.lax.dynamic_update_slice(
+                    canvas, cur + patch, (0, ys[i], xs[i]))
+                cnt = jax.lax.dynamic_slice(count, (0, ys[i], xs[i]),
+                                            (1, crop, crop))
+                canvas_ones = jnp.full((1, crop, crop), valid[i])
+                count = jax.lax.dynamic_update_slice(
+                    count, cnt + canvas_ones, (0, ys[i], xs[i]))
+            full = canvas / jnp.maximum(count, 1e-6)
+            mh = linear_matrix(ohb, hb, oh.astype(jnp.float32),
+                               h.astype(jnp.float32))
+            mw = linear_matrix(owb, wb, ow.astype(jnp.float32),
+                               w.astype(jnp.float32))
+            up = jnp.einsum("oh,chw->cow", mh, full)
+            up = jnp.einsum("pw,cow->cop", mw, up)
+            return jnp.argmax(up, axis=0).astype(jnp.int32)
+
+        return fn
+
     def _slide_predict(self, n_bucket: int, hb: int, wb: int, ohb: int,
                        owb: int):
-        """Shape-GENERIC fused predict: decode all windows, accumulate,
-        bilinear-upsample, argmax in one compiled program. All image-specific
-        quantities (window coords, true h/w/oh/ow) are runtime inputs and
-        dims are quantized to buckets, so an entire eval dataset reuses a
-        handful of executables (a per-exact-shape key would recompile the
-        whole ViT decode for nearly every image). Only the final int map
-        crosses the host boundary."""
+        """jitted single-image fused predict. All image-specific quantities
+        (window coords, true h/w/oh/ow) are runtime inputs and dims are
+        quantized to buckets, so an entire eval dataset reuses a handful of
+        executables (a per-exact-shape key would recompile the whole ViT
+        decode for nearly every image). Only the final int map crosses the
+        host boundary."""
         key = ("slide_predict", n_bucket, hb, wb, ohb, owb)
         if key not in self._jitted:
-            gh = gw = self.crop // self.patch
-            crop = self.crop
-            decode = functools.partial(_decode_crops, model=self.model,
-                                       with_bg=self.with_bg,
-                                       bg_thresh=self.bg_thresh,
-                                       out_h=crop, out_w=crop, gh=gh, gw=gw)
-
-            def linear_matrix(out_pad, in_pad, n_out, n_in):
-                """torch-convention bilinear weights built on device from
-                traced sizes; rows/cols beyond (n_out, n_in) are zero."""
-                i = jax.lax.broadcasted_iota(jnp.float32,
-                                             (out_pad, in_pad), 0)
-                j = jax.lax.broadcasted_iota(jnp.float32,
-                                             (out_pad, in_pad), 1)
-                src = (i + 0.5) * (n_in / n_out) - 0.5
-                src = jnp.clip(src, 0.0, n_in - 1.0)
-                wgt = jnp.maximum(0.0, 1.0 - jnp.abs(src - j))
-                return jnp.where((i < n_out) & (j < n_in), wgt, 0.0)
-
-            @jax.jit
-            def fn(params, image, text_bank, ys, xs, valid, h, w, oh, ow):
-                crops = jnp.stack([
-                    jax.lax.dynamic_slice(image, (ys[i], xs[i], 0),
-                                          (crop, crop, 3))
-                    for i in range(n_bucket)])
-                logits = decode(params, crops, text_bank)   # (N, C, c, c)
-                canvas = jnp.zeros((self.num_classes, hb, wb), jnp.float32)
-                count = jnp.zeros((1, hb, wb), jnp.float32)
-                for i in range(n_bucket):
-                    patch = logits[i] * valid[i]
-                    cur = jax.lax.dynamic_slice(
-                        canvas, (0, ys[i], xs[i]),
-                        (self.num_classes, crop, crop))
-                    canvas = jax.lax.dynamic_update_slice(
-                        canvas, cur + patch, (0, ys[i], xs[i]))
-                    cnt = jax.lax.dynamic_slice(count, (0, ys[i], xs[i]),
-                                                (1, crop, crop))
-                    canvas_ones = jnp.full((1, crop, crop), valid[i])
-                    count = jax.lax.dynamic_update_slice(
-                        count, cnt + canvas_ones, (0, ys[i], xs[i]))
-                full = canvas / jnp.maximum(count, 1e-6)
-                mh = linear_matrix(ohb, hb, oh.astype(jnp.float32),
-                                   h.astype(jnp.float32))
-                mw = linear_matrix(owb, wb, ow.astype(jnp.float32),
-                                   w.astype(jnp.float32))
-                up = jnp.einsum("oh,chw->cow", mh, full)
-                up = jnp.einsum("pw,cow->cop", mw, up)
-                return jnp.argmax(up, axis=0).astype(jnp.int32)
-
-            self._jitted[key] = fn
+            self._jitted[key] = jax.jit(
+                self._make_slide_fn(n_bucket, hb, wb, ohb, owb))
         return self._jitted[key]
+
+    def _slide_predict_batch(self, mesh, n_images: int, n_bucket: int,
+                             hb: int, wb: int, ohb: int, owb: int):
+        """Mesh-sharded batch predict: vmap the single-image program over a
+        leading image axis sharded on `data` — with n_images == mesh size
+        each device runs exactly the sequential per-image program, so
+        predictions are identical to the one-at-a-time path (the reference
+        shards eval across GPUs the same way, main_seg_zeroshot.py:137-146).
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from segclip_tpu.parallel.mesh import DATA_AXIS
+        key = ("slide_predict_batch", n_images, n_bucket, hb, wb, ohb, owb)
+        if key not in self._jitted:
+            fn = self._make_slide_fn(n_bucket, hb, wb, ohb, owb)
+            vfn = jax.vmap(fn, in_axes=(None, 0, None) + (0,) * 7)
+            rep = NamedSharding(mesh, P())
+            sh = NamedSharding(mesh, P(DATA_AXIS))
+            self._jitted[key] = jax.jit(
+                vfn, in_shardings=(rep, sh, rep) + (sh,) * 7,
+                out_shardings=sh)
+        return self._jitted[key]
+
+    def _slide_inputs(self, image: np.ndarray, orig_shape: Tuple[int, int]):
+        """Host-side prep shared by single and batched slide predict:
+        returns (bucket_key, args) where args = (padded image, ys, xs,
+        valid, h, w, oh, ow) as numpy."""
+        oh, ow = orig_shape
+        h, w, _ = image.shape
+        hp, wp = max(h, self.crop), max(w, self.crop)
+        wins = self._windows(hp, wp)
+        n_bucket = 1 << (len(wins) - 1).bit_length()
+        hb = self._bucket(hp, self.crop)
+        wb = self._bucket(wp, self.crop)
+        ohb = self._bucket(oh, 256)
+        owb = self._bucket(ow, 256)
+
+        padded = np.zeros((hb, wb, 3), np.float32)
+        padded[:h, :w] = image
+        ys = np.zeros(n_bucket, np.int32)
+        xs = np.zeros(n_bucket, np.int32)
+        valid = np.zeros(n_bucket, np.float32)
+        for i, (y1, x1, y2, x2) in enumerate(wins):
+            ys[i], xs[i], valid[i] = y1, x1, 1.0
+        args = (padded, ys, xs, valid,
+                np.int32(h), np.int32(w), np.int32(oh), np.int32(ow))
+        return (n_bucket, hb, wb, ohb, owb), args
 
     @staticmethod
     def _bucket(n: int, q: int) -> int:
@@ -285,31 +337,12 @@ class ZeroShotSegmenter:
         rescale=True: bilinear logits upsample then argmax)."""
         oh, ow = orig_shape
         if mode == "slide":
-            h, w, _ = image.shape
-            hp, wp = max(h, self.crop), max(w, self.crop)
-            wins = self._windows(hp, wp)
-            n_bucket = 1 << (len(wins) - 1).bit_length()
-            hb = self._bucket(hp, self.crop)
-            wb = self._bucket(wp, self.crop)
-            ohb = self._bucket(oh, 256)
-            owb = self._bucket(ow, 256)
-
-            padded = np.zeros((hb, wb, 3), image.dtype)
-            padded[:h, :w] = image
-            ys = np.zeros(n_bucket, np.int32)
-            xs = np.zeros(n_bucket, np.int32)
-            valid = np.zeros(n_bucket, np.float32)
-            for i, (y1, x1, y2, x2) in enumerate(wins):
-                ys[i], xs[i], valid[i] = y1, x1, 1.0
-
-            fn = self._slide_predict(n_bucket, hb, wb, ohb, owb)
-            pred = np.asarray(fn(self.params, jnp.asarray(padded),
-                                 self.text_bank, jnp.asarray(ys),
-                                 jnp.asarray(xs), jnp.asarray(valid),
-                                 jnp.asarray(h, jnp.int32),
-                                 jnp.asarray(w, jnp.int32),
-                                 jnp.asarray(oh, jnp.int32),
-                                 jnp.asarray(ow, jnp.int32)))
+            bucket_key, args = self._slide_inputs(image, orig_shape)
+            fn = self._slide_predict(*bucket_key)
+            pred = np.asarray(fn(self.params,
+                                 *[jnp.asarray(a) for a in args[:1]],
+                                 self.text_bank,
+                                 *[jnp.asarray(a) for a in args[1:]]))
             return pred[:oh, :ow]
         logits = self.whole(image)
         c, h, w = logits.shape
@@ -321,7 +354,7 @@ class ZeroShotSegmenter:
 
 def evaluate_dataset(segmenter: ZeroShotSegmenter, dataset,
                      log_every: int = 50, logger=None) -> dict:
-    """Run zero-shot mIoU over a SegEvalDataset."""
+    """Run zero-shot mIoU over a SegEvalDataset (sequential, one chip)."""
     meter = MIoUMeter(segmenter.num_classes,
                       ignore_index=dataset.spec.ignore_index)
     for i, sample in enumerate(dataset):
@@ -331,4 +364,56 @@ def evaluate_dataset(segmenter: ZeroShotSegmenter, dataset,
         if logger and (i + 1) % log_every == 0:
             logger.info("eval %d/%d  running mIoU %.2f", i + 1, len(dataset),
                         meter.results()["mIoU"])
+    return meter.results(dataset.spec.classes)
+
+
+def evaluate_dataset_sharded(segmenter: ZeroShotSegmenter, dataset,
+                             mesh=None, log_every: int = 50,
+                             logger=None) -> dict:
+    """Mesh-parallel zero-shot mIoU: images sharing a padded-shape bucket
+    are batched over the mesh's `data` axis, one image per device — the
+    multi-device equivalent of the reference's dataset sharding across GPUs
+    (multi_gpu_test, main_seg_zeroshot.py:137-146). Predictions (and thus
+    mIoU) are identical to evaluate_dataset; a trailing partial group is
+    padded with its own last image and the duplicates discarded.
+    """
+    from segclip_tpu.parallel.mesh import make_mesh
+    if mesh is None:
+        mesh = make_mesh()
+    n_images = int(np.prod(list(mesh.shape.values())))
+    if n_images == 1:
+        return evaluate_dataset(segmenter, dataset, log_every, logger)
+
+    meter = MIoUMeter(segmenter.num_classes,
+                      ignore_index=dataset.spec.ignore_index)
+    n_done = 0
+
+    def flush(bucket_key, group):
+        nonlocal n_done
+        n_real = len(group)
+        while len(group) < n_images:          # pad with the last image
+            group.append(group[-1])
+        args_stacked = [np.stack([g[0][k] for g in group])
+                        for k in range(8)]
+        fn = segmenter._slide_predict_batch(mesh, n_images, *bucket_key)
+        preds = np.asarray(fn(segmenter.params, args_stacked[0],
+                              segmenter.text_bank, *args_stacked[1:]))
+        for (args, label, (oh, ow)), pred in list(zip(group, preds))[:n_real]:
+            if label is not None:
+                meter.update(pred[:oh, :ow], label)
+        n_done += n_real
+        if logger and n_done % max(log_every, n_images) < n_images:
+            logger.info("eval %d/%d  running mIoU %.2f", n_done,
+                        len(dataset), meter.results()["mIoU"])
+
+    groups: dict = {}
+    for sample in dataset:
+        bucket_key, args = segmenter._slide_inputs(sample.image,
+                                                   sample.orig_shape)
+        groups.setdefault(bucket_key, []).append(
+            (args, sample.label, sample.orig_shape))
+        if len(groups[bucket_key]) == n_images:
+            flush(bucket_key, groups.pop(bucket_key))
+    for bucket_key in sorted(groups):
+        flush(bucket_key, groups.pop(bucket_key))
     return meter.results(dataset.spec.classes)

@@ -37,6 +37,48 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def prefetch_to_device(iterator, mesh: Mesh, depth: int = 2):
+    """Pipeline host→device transfer ahead of consumption: a transfer
+    thread shard_batch-es upcoming batches while the consumer runs the
+    step, so decode, transfer, and device compute overlap (the classic TPU
+    input pipeline; flax.jax_utils.prefetch_to_device equivalent for
+    explicit meshes)."""
+    import queue
+    import threading
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+
+    def put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.5)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def worker():
+        try:
+            for batch in iterator:
+                if not put(shard_batch(mesh, batch)):
+                    return
+        except Exception as e:
+            put(e)
+        put(None)
+
+    threading.Thread(target=worker, daemon=True).start()
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            if isinstance(item, Exception):
+                raise item
+            yield item
+    finally:
+        stop.set()
+
+
 def shard_batch(mesh: Mesh, batch):
     """Place this host's batch shard onto the mesh, sharded on axis 0.
 

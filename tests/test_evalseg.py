@@ -200,3 +200,66 @@ def test_fused_predict_reuses_compiled_buckets(tiny):
         seg.predict(img, orig_shape=(64, 2 * w))
     slide_keys = [k for k in seg._jitted if k[0] == "slide_predict"]
     assert len(slide_keys) == 1, slide_keys
+
+
+def test_sharded_eval_matches_sequential(tiny):
+    """evaluate_dataset_sharded over the 8-device mesh must produce the
+    SAME mIoU as the sequential path (one image per device, identical
+    per-image programs)."""
+    from dataclasses import dataclass
+    from segclip_tpu.evalseg.datasets import SegEvalSample
+    from segclip_tpu.evalseg.inference import (evaluate_dataset,
+                                               evaluate_dataset_sharded)
+    from segclip_tpu.parallel.mesh import make_mesh
+    _, _, _, seg = tiny
+
+    @dataclass
+    class Spec:
+        ignore_index: int = 255
+        classes: tuple = tuple(f"c{i}" for i in range(7))
+
+    class FakeDataset:
+        spec = Spec()
+
+        def __init__(self):
+            rng = np.random.default_rng(3)
+            self.samples = []
+            # 11 images over 2 shape buckets → full groups + partial tails
+            for i in range(11):
+                shape = (32, 40) if i % 2 else (32, 70)
+                orig = (shape[0] * 2 - 3, shape[1] * 2 + 5)
+                img = rng.normal(size=shape + (3,)).astype(np.float32)
+                label = rng.integers(0, 7, size=orig).astype(np.int32)
+                label[0, :3] = 255          # some ignored pixels
+                self.samples.append(SegEvalSample(
+                    image=img, label=label, orig_shape=orig, name=f"s{i}"))
+
+        def __len__(self):
+            return len(self.samples)
+
+        def __iter__(self):
+            return iter(self.samples)
+
+    ds = FakeDataset()
+    want = evaluate_dataset(seg, ds)
+    got = evaluate_dataset_sharded(seg, ds, mesh=make_mesh())
+    np.testing.assert_allclose(got["mIoU"], want["mIoU"], rtol=1e-6)
+    np.testing.assert_allclose(got["aAcc"], want["aAcc"], rtol=1e-6)
+    np.testing.assert_allclose(got["IoU"], want["IoU"], rtol=1e-6)
+
+
+def test_keep_ratio_resize_matches_cv2_oracle():
+    """Eval resize must use cv2 INTER_LINEAR (mmcv imrescale semantics —
+    the reference's eval kernel); PIL BILINEAR differs at the pixel level."""
+    cv2 = pytest.importorskip("cv2")
+    from PIL import Image
+    arr = RNG.integers(0, 256, (100, 150, 3)).astype(np.uint8)
+    img = Image.fromarray(arr)
+    got = np.asarray(keep_ratio_resize(img, short=64, long_cap=512))
+    scale = min(64 / 100, 512 / 150)
+    new_w, new_h = int(150 * scale + 0.5), int(100 * scale + 0.5)
+    want = cv2.resize(arr, (new_w, new_h), interpolation=cv2.INTER_LINEAR)
+    np.testing.assert_array_equal(got, want)
+    # and PIL genuinely differs — the parity risk this guards against
+    pil = np.asarray(img.resize((new_w, new_h), Image.BILINEAR))
+    assert np.abs(pil.astype(int) - want.astype(int)).max() > 0
