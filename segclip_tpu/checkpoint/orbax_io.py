@@ -64,14 +64,26 @@ def auto_resume_path(output_dir: str) -> Optional[str]:
     return ckpts[-1][1] if ckpts else None
 
 
-def restore_checkpoint(path: str, state: Any) -> tuple[Any, int]:
-    """Restore into a template TrainState; returns (state, epoch)."""
+def restore_checkpoint(path: str, state: Any,
+                       sharding: Any = None) -> tuple[Any, int]:
+    """Restore into a template TrainState; returns (state, epoch).
+
+    `sharding` (e.g. a replicated NamedSharding over the training mesh)
+    restores arrays directly onto the mesh — required under a multi-device
+    mesh (a plain restore commits to device 0 and then clashes with
+    mesh-sharded step inputs) and the multi-host-correct path (each host
+    reads only its addressable shards)."""
     ckptr = ocp.StandardCheckpointer()
     template = {"params": state.params, "opt_state_mu": state.opt_state.mu,
                 "opt_state_nu": state.opt_state.nu,
                 "opt_step": state.opt_state.step,
                 "step": state.step,
                 "epoch": jax.numpy.asarray(0, np.int32)}
+    if sharding is not None:
+        template = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(jax.numpy.shape(x),
+                                           x.dtype, sharding=sharding),
+            template)
     restored = ckptr.restore(_abs(path), template)
     new_state = state.replace(
         step=restored["step"], params=restored["params"],

@@ -111,11 +111,23 @@ DATASET_SPECS = {
 def keep_ratio_resize(img: Image.Image, short: int = 224,
                       long_cap: int = 2048) -> Image.Image:
     """mmseg Resize(img_scale=(2048, 224), keep_ratio=True): scale so the
-    short side is `short`, capping the long side at `long_cap`."""
+    short side is `short`, capping the long side at `long_cap`; size
+    rounding is mmcv's int(x·scale + 0.5).
+
+    Resampling uses cv2 INTER_LINEAR — the exact mmcv imrescale kernel the
+    reference evaluates with (mmseg loading pipeline); PIL BILINEAR differs
+    at the pixel level (mIoU targets are quoted to ±0.2). PIL is the
+    fallback when cv2 is unavailable."""
     w, h = img.size
     scale = min(short / min(w, h), long_cap / max(w, h))
     new_w, new_h = int(w * scale + 0.5), int(h * scale + 0.5)
-    return img.resize((new_w, new_h), Image.BILINEAR)
+    try:
+        import cv2
+        arr = cv2.resize(np.asarray(img), (new_w, new_h),
+                         interpolation=cv2.INTER_LINEAR)
+        return Image.fromarray(arr)
+    except ImportError:
+        return img.resize((new_w, new_h), Image.BILINEAR)
 
 
 def normalize_pixels(arr: np.ndarray) -> np.ndarray:

@@ -1,0 +1,85 @@
+"""End-to-end CLI tests on the simulated 8-device CPU mesh: train for a
+real (tiny) epoch through main(), zero-shot eval on a temp-dir 3-image VOC
+layout, and the demo's dataset mode (reference entry points
+main_task_align.py / main_seg_zeroshot.py / main_seg_vis.py)."""
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+TINY_OPTS = [
+    "model.vision_width=64", "model.vision_layers=4",
+    "model.first_stage_layer=3", "model.group_num=4", "model.cross_layer=1",
+    "model.transformer_width=64", "model.transformer_layers=2",
+    "model.embed_dim=32", "model.mae_decoder_depth=1",
+    "model.mae_decoder_num_heads=2", "model.compute_dtype=float32",
+]
+TINY_EVAL_OPTS = [o.split("model.", 1)[1] for o in TINY_OPTS]
+
+RNG = np.random.default_rng(23)
+
+
+def test_train_cli_end_to_end(tmp_path):
+    from segclip_tpu.cli.train import main
+    out = tmp_path / "run"
+    main(["--datatype", "synthetic", "--batch-size", "256", "--epochs", "1",
+          "--max-words", "12", "--n-display", "1",
+          "--output-dir", str(out), "--opts"] + TINY_OPTS +
+         ["train.eval_each_epoch=false"])
+    assert (out / "log.txt").exists()
+    metrics = [json.loads(l) for l in (out / "metrics.jsonl").open()]
+    assert len(metrics) == 2                      # 512 synthetic / 256 = 2
+    assert all(np.isfinite(m["loss"]) for m in metrics)
+    assert (out / "ckpt_epoch_0").exists()
+
+
+def _make_voc(tmp_path):
+    root = tmp_path / "voc"
+    (root / "JPEGImages").mkdir(parents=True)
+    (root / "SegmentationClass").mkdir()
+    (root / "ImageSets" / "Segmentation").mkdir(parents=True)
+    names = []
+    for i in range(3):
+        name = f"img{i}"
+        h, w = 230 + 9 * i, 300
+        arr = RNG.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        Image.fromarray(arr).save(root / "JPEGImages" / f"{name}.jpg")
+        label = RNG.integers(0, 21, (h, w)).astype(np.uint8)
+        label[:4] = 255                            # some ignore pixels
+        Image.fromarray(label).save(root / "SegmentationClass" / f"{name}.png")
+        names.append(name)
+    (root / "ImageSets" / "Segmentation" / "val.txt").write_text(
+        "\n".join(names) + "\n")
+    return root
+
+
+def test_eval_zeroshot_cli_end_to_end(tmp_path, capsys):
+    from segclip_tpu.cli.eval_zeroshot import main
+    root = _make_voc(tmp_path)
+    results = main(["--dataset", "voc", "--data-root", str(root),
+                    "--output-dir", str(tmp_path / "out"),
+                    "--opts"] + TINY_EVAL_OPTS)
+    assert 0.0 <= results["mIoU"] <= 100.0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    payload = json.loads(line)
+    assert payload["dataset"] == "voc"
+
+
+def test_demo_cli_dataset_mode(tmp_path):
+    from segclip_tpu.cli.demo import main
+    root = _make_voc(tmp_path)
+    out = tmp_path / "vis"
+    main(["--dataset", "voc", "--data-root", str(root), "--first-n", "2",
+          "--vis", "input_pred", "final_group",
+          "--output-dir", str(out), "--opts"] + TINY_EVAL_OPTS)
+    for mode in ("input_pred", "final_group"):
+        files = sorted(os.listdir(out / mode))
+        assert files == ["img0.jpg", "img1.jpg"], files
+
+
+def test_demo_cli_requires_exactly_one_input(tmp_path):
+    from segclip_tpu.cli.demo import main
+    with pytest.raises(SystemExit):
+        main(["--output-dir", str(tmp_path)])

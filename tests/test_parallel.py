@@ -217,6 +217,50 @@ def test_grad_accumulation_matches_full_batch(tiny_train_setup):
     assert int(st_acc.step) == int(state.step) + 1
 
 
+def test_multistep_dp_nan_and_midrun_checkpoint_equivalence(
+        tiny_train_setup, tmp_path):
+    """5-step dp-8 training with a forced-NaN batch at step 2 must (a) skip
+    exactly that update, and (b) be bit-reproducible across a mid-run
+    checkpoint save + restore under the mesh (reference behaviors:
+    main_task_align.py:331-338 NaN skip, 258-290 epoch save/resume)."""
+    from segclip_tpu.checkpoint.orbax_io import (restore_checkpoint,
+                                                 save_checkpoint)
+    cfg, model, state, tx = tiny_train_setup
+    mesh = make_mesh()
+    step = make_sharded_train_step(mesh, model, tx)
+
+    seq = [_batch(16) for _ in range(5)]
+    seq[2] = dict(seq[2], image=np.full_like(seq[2]["image"], np.nan))
+
+    # run A: straight through
+    sA = jax.tree.map(jnp.copy, state)
+    skipped = []
+    for b in seq:
+        sA, m = step(sA, shard_batch(mesh, b))
+        skipped.append(float(m["skipped_nan"]))
+    assert skipped == [0, 0, 1, 0, 0]
+    assert int(sA.step) == 5
+    assert int(sA.opt_state.step) == 4           # NaN step didn't advance
+
+    # run B: save after 2 steps, restore into a fresh template, continue
+    sB = jax.tree.map(jnp.copy, state)
+    for b in seq[:2]:
+        sB, _ = step(sB, shard_batch(mesh, b))
+    path = save_checkpoint(str(tmp_path), 0, sB)
+    from jax.sharding import NamedSharding
+    sB2, epoch = restore_checkpoint(path, jax.tree.map(jnp.copy, state),
+                                    sharding=NamedSharding(mesh, P()))
+    assert epoch == 0 and int(sB2.step) == 2
+    for b in seq[2:]:
+        sB2, _ = step(sB2, shard_batch(mesh, b))
+
+    for a, b in zip(jax.tree.leaves(sA.params), jax.tree.leaves(sB2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(sA.opt_state.mu),
+                    jax.tree.leaves(sB2.opt_state.mu)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_gspmd_dp_tp_step_matches_single_device(tiny_train_setup):
     """The GSPMD dp=4 × tp=2 step is semantically the single-device global
     program — losses must match a single-device step exactly (fp32)."""
