@@ -51,11 +51,12 @@ class ModelConfig:
     # Numerics
     compute_dtype: str = "bfloat16"   # matmul/activation dtype under jit
     param_dtype: str = "float32"      # parameter storage dtype
-    # Kernel selection: "xla" uses jnp einsum/softmax; "pallas" uses the fused
-    # TPU kernels in ops/pallas.
+    # Attention: "xla" only (a Pallas flash kernel was slower at these
+    # sequence lengths and was removed — docs/PERF.md).
     attention_impl: str = "xla"
-    # "auto" uses the fused Pallas grouping kernel for eval on TPU, the jnp
-    # path elsewhere; "jnp" forces the reference path, "pallas" forces fused.
+    # Grouping: "auto" uses the fused Pallas kernel on TPU for BOTH eval and
+    # training (training via a custom straight-through VJP); "jnp" forces
+    # the reference path, "pallas" forces fused (interpret mode off-TPU).
     grouping_impl: str = "auto"
     # Rematerialize transformer blocks in the backward pass (trades ~30%
     # FLOPs for activation memory — enables much larger per-chip batches).

@@ -76,8 +76,12 @@ class SemanticLearner(nn.Module):
     compute_dtype: jnp.dtype = jnp.bfloat16
     attention_impl: str = "xla"
     # "auto": fused Pallas kernel on TPU for the (deterministic) eval path —
-    # bit-exact vs the jnp path and ~1.4x faster; training uses the jnp path
-    # (autodiff through the straight-through estimator).
+    # bit-exact vs the jnp path and ~1.4x faster. Training defaults to the
+    # jnp path: the fused forward + custom straight-through VJP exists
+    # (grouping_impl="pallas") and matches jnp gradients exactly, but the
+    # full-step A/B on the chip is a wash (147.0 vs 146.5 ms @ B=96 — the
+    # grouping chain is ~0.5% of the step and the VJP residuals offset the
+    # forward win; docs/PERF.md).
     grouping_impl: str = "auto"
 
     def setup(self):
@@ -122,13 +126,23 @@ class SemanticLearner(nn.Module):
         k = self.k_ln(self.k_conv(in_feature))
         v = self.v_conv(in_feature)
 
-        use_fused = (not training and self.grouping_impl != "jnp"
-                     and (self.grouping_impl == "pallas"
-                          or jax.default_backend() == "tpu"))
-        if use_fused:
+        use_fused = (self.grouping_impl == "pallas"
+                     or (self.grouping_impl == "auto" and not training
+                         and jax.default_backend() == "tpu"))
+        if use_fused and not training:
             from segclip_tpu.ops.pallas.grouping import fused_group_assign
             grouped, hard_attn, soft_attn = fused_group_assign(
                 q, k, v, tau=self.tau, training=False)
+        elif use_fused:
+            # Training: fused kernel forward + hand-derived straight-through
+            # VJP. Noise drawn exactly like the jnp path → same trajectory.
+            from segclip_tpu.ops.pallas.grouping import fused_group_assign_st
+            noise = jax.random.gumbel(
+                gumbel_key, (b, self.num_tokens, inputs.shape[1]),
+                jnp.float32)
+            grouped, hard_attn, soft_attn = fused_group_assign_st(
+                q, k, v, noise, self.tau,
+                jax.default_backend() != "tpu")
         else:
             # Un-scaled affinity logits over the center axis (fp32 for the
             # softmax/Gumbel numerics).

@@ -10,9 +10,13 @@ Semantics match torch nn.MultiheadAttention as used by the reference
 Layout note: kernels are stored (in_features, out_features) — the natural
 layout for `x @ W` on the MXU. The torch converter transposes.
 
-`impl="pallas"` routes the core softmax(qk)v to the fused Pallas TPU kernel
-in ops/pallas/flash_attention.py; "xla" uses jnp and lets XLA fuse. Both are
-numerically equivalent (fp32 accumulation).
+`impl` selects the softmax(qk)v implementation. Only "xla" exists: a
+hand-written Pallas flash-attention kernel was measured 0.47-0.72× XLA at
+SegCLIP's sequence lengths (≤256 — the whole score matrix fits in VMEM and
+XLA already fuses the softmax chain) and was removed; the decision and
+numbers are recorded in docs/PERF.md "Attention kernel selection". The
+Pallas investment lives where it wins: the fused grouping kernel
+(ops/pallas/grouping.py), on both eval and training paths.
 """
 from __future__ import annotations
 
@@ -56,9 +60,10 @@ def _merge_heads(x: jax.Array) -> jax.Array:
 def sdpa(q: jax.Array, k: jax.Array, v: jax.Array,
          bias: Optional[jax.Array] = None, impl: str = "xla") -> jax.Array:
     """softmax(q kᵀ / sqrt(d) + bias) v over (B, H, L, Dh) tensors."""
-    if impl == "pallas":
-        from segclip_tpu.ops.pallas.flash_attention import flash_attention
-        return flash_attention(q, k, v, bias=bias)
+    if impl != "xla":
+        raise ValueError(
+            f"attention impl {impl!r} removed — XLA wins at SegCLIP's "
+            f"sequence lengths (docs/PERF.md, 'Attention kernel selection')")
     head_dim = q.shape[-1]
     scale = head_dim ** -0.5
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,

@@ -7,9 +7,11 @@ Reproduces the math of the reference SemanticLearnerModule core
   straight-through hard one-hot, aggregation out = (hard @ v) / count.
 
 The fused Pallas kernel (ops/pallas/grouping.py) computes
-logits→gumbel→hard→aggregate in one VMEM pass; this module holds the
-reference jnp path (which XLA also fuses well at these shapes) and the
-shared Gumbel sampling.
+logits→gumbel→hard→aggregate in one VMEM pass (training included, via a
+custom straight-through VJP); this module holds the reference jnp path
+(which XLA also fuses well at these shapes) and the shared Gumbel
+sampling. Both paths produce identical values and gradients
+(tests/test_pallas.py).
 """
 from __future__ import annotations
 

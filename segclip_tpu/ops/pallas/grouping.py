@@ -6,16 +6,26 @@ The grouping bottleneck is SegCLIP's signature op: per batch item,
   hard   = one-hot(argmax_G y)       straight-through
   out    = (hard @ v) / max(Σ_L hard, 1)
 XLA runs this as ~8 kernels with (B, G, L) round-trips to HBM; here it is
-one VMEM pass per batch item producing (out, hard, soft). Gumbel noise is
-drawn inside the kernel from the TPU PRNG (pltpu.prng_*), seeded per batch
-item from a scalar-prefetch seed.
+one VMEM pass per batch item producing (out, hard, soft[, y_soft]).
 
-This kernel is forward-only (no custom_vjp): SemanticLearner uses it for
-the deterministic eval path; training differentiates through the jnp path
-in ops/grouping.py (straight-through estimator under autodiff).
+`fused_group_assign_st` is the trainable variant: a custom_vjp whose
+forward is this kernel (Gumbel noise passed in, drawn with
+jax.random.gumbel exactly like the jnp path) and whose backward is the
+hand-derived VJP of the straight-through estimator (ops/grouping.py
+semantics: hard's cotangent flows to the noised softmax, the count
+normalizer max(c, 1) passes gradient 1/0.5/0 for c>1 / c==1 / c<1,
+matching jnp.maximum). Values and gradients equal the jnp path exactly at
+f32 (tests/test_pallas.py); at bf16 the two paths round matmuls slightly
+differently, so long trajectories are equivalent in distribution, not
+bitwise. Eval uses `fused_group_assign` (deterministic, no noise),
+bit-equal to the jnp path. Training defaults to jnp — the full-step A/B is
+a wash (docs/PERF.md) — select grouping_impl="pallas" to opt in.
 
 L and D are padded to lane multiples; padded patch columns are masked to
 -inf before the softmax so they never win an assignment.
+
+Reference math: module_seg_vit.py:221-242 (gumbel_softmax) + 304-310
+(assign/aggregate).
 """
 from __future__ import annotations
 
@@ -28,10 +38,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(seed_ref, q_ref, k_ref, v_ref, out_ref, hard_ref, soft_ref, *,
-            tau: float, training: bool, l_real: int, g_real: int):
-    b = pl.program_id(0)
-
+def _kernel(q_ref, k_ref, v_ref, noise_ref, out_ref, hard_ref, soft_ref,
+            ysoft_ref, *, tau: float, training: bool, l_real: int,
+            g_real: int):
     q = q_ref[0].astype(jnp.float32)               # (G, D)
     k = k_ref[0].astype(jnp.float32)               # (Lp, D)
     v = v_ref[0]                                   # (Lp, D)
@@ -47,15 +56,7 @@ def _kernel(seed_ref, q_ref, k_ref, v_ref, out_ref, hard_ref, soft_ref, *,
     logits = jnp.where(grow < g_real, logits, -1e30)
 
     if training:
-        pltpu.prng_seed(seed_ref[0] + b)
-        bits = pltpu.prng_random_bits((gp, lp))
-        # uniform in (0,1): set exponent to 1.0..2.0 via mantissa bits
-        mant = jax.lax.shift_right_logical(
-            pltpu.bitcast(bits, jnp.uint32), jnp.uint32(9))
-        u = pltpu.bitcast(mant | jnp.uint32(0x3F800000), jnp.float32) - 1.0
-        u = jnp.clip(u, 1e-20, 1.0 - 1e-7)
-        gumbel = -jnp.log(-jnp.log(u))
-        y_logits = (logits + gumbel) / tau
+        y_logits = (logits + noise_ref[0].astype(jnp.float32)) / tau
     else:
         y_logits = logits
 
@@ -83,6 +84,7 @@ def _kernel(seed_ref, q_ref, k_ref, v_ref, out_ref, hard_ref, soft_ref, *,
     out_ref[0] = out.astype(out_ref.dtype)
     hard_ref[0] = jnp.where(valid, hard, 0.0).astype(hard_ref.dtype)
     soft_ref[0] = jnp.where(valid, soft, 0.0).astype(soft_ref.dtype)
+    ysoft_ref[0] = jnp.where(valid, y_soft, 0.0).astype(ysoft_ref.dtype)
 
 
 def _pad_lane(x: jax.Array, axis: int, mult: int = 128) -> jax.Array:
@@ -95,24 +97,8 @@ def _pad_lane(x: jax.Array, axis: int, mult: int = 128) -> jax.Array:
     return jnp.pad(x, widths)
 
 
-def fused_group_assign(q: jax.Array, k: jax.Array, v: jax.Array,
-                       tau: float = 0.9, training: bool = False,
-                       seed: Optional[jax.Array] = None,
-                       interpret: Optional[bool] = None
-                       ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """q: (B, G, D); k, v: (B, L, D) → (grouped (B,G,D), hard (B,G,L),
-    soft (B,G,L)). `seed` (int32 scalar) required when training."""
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    if training and interpret:
-        # pltpu PRNG has no CPU-interpret lowering; use the reference jnp
-        # path with a key derived from the seed (same distribution).
-        from segclip_tpu.ops.grouping import group_assign_aggregate
-        logits = jnp.einsum("bgd,bld->bgl", q, k,
-                            preferred_element_type=jnp.float32)
-        key = jax.random.key(jnp.asarray(seed, jnp.int32))
-        return group_assign_aggregate(logits, v, tau=tau, key=key,
-                                      training=True)
+def _call_kernel(q, k, v, noise, tau: float, training: bool,
+                 interpret: bool):
     b, g, d = q.shape
     l = k.shape[1]
     gp = max(8, -(-g // 8) * 8)
@@ -120,43 +106,105 @@ def fused_group_assign(q: jax.Array, k: jax.Array, v: jax.Array,
     vp = _pad_lane(v, 1)
     qp = jnp.pad(q, ((0, 0), (0, gp - g), (0, 0)))
     lp = kp.shape[1]
-
-    if seed is None:
-        if training:
-            raise ValueError("fused_group_assign(training=True) needs seed")
-        seed = jnp.zeros((), jnp.int32)
-    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+    np_ = jnp.pad(noise.astype(jnp.float32),
+                  ((0, 0), (0, gp - g), (0, lp - l)))
 
     kernel = functools.partial(_kernel, tau=tau, training=training,
                                l_real=l, g_real=g)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, gp, d), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lp, d), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lp, d), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, gp, d), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, gp, lp), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, gp, lp), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-    )
-    out, hard, soft = pl.pallas_call(
+    spec_gd = pl.BlockSpec((1, gp, d), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    spec_ld = pl.BlockSpec((1, lp, d), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    spec_gl = pl.BlockSpec((1, gp, lp), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    out, hard, soft, y_soft = pl.pallas_call(
         kernel,
-        grid_spec=grid_spec,
+        grid=(b,),
+        in_specs=[spec_gd, spec_ld, spec_ld, spec_gl],
+        out_specs=[spec_gd, spec_gl, spec_gl, spec_gl],
         out_shape=[
             jax.ShapeDtypeStruct((b, gp, d), v.dtype),
             jax.ShapeDtypeStruct((b, gp, lp), jnp.float32),
             jax.ShapeDtypeStruct((b, gp, lp), jnp.float32),
+            jax.ShapeDtypeStruct((b, gp, lp), jnp.float32),
         ],
         interpret=interpret,
-    )(seed_arr, qp, kp, vp)
-    return out[:, :g, :], hard[:, :g, :l], soft[:, :g, :l]
+    )(qp, kp, vp, np_)
+    return (out[:, :g, :], hard[:, :g, :l], soft[:, :g, :l],
+            y_soft[:, :g, :l])
+
+
+def fused_group_assign(q: jax.Array, k: jax.Array, v: jax.Array,
+                       tau: float = 0.9, training: bool = False,
+                       seed=None, interpret: Optional[bool] = None
+                       ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Deterministic (eval) fused grouping. q: (B, G, D); k, v: (B, L, D) →
+    (grouped (B,G,D), hard (B,G,L), soft (B,G,L)). For training use
+    fused_group_assign_st (differentiable, external Gumbel noise)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if training:
+        raise ValueError("training=True: use fused_group_assign_st with "
+                         "explicit Gumbel noise")
+    zeros = jnp.zeros((q.shape[0], q.shape[1], k.shape[1]), jnp.float32)
+    out, hard, soft, _ = _call_kernel(q, k, v, zeros, tau, False, interpret)
+    return out, hard, soft
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def fused_group_assign_st(q, k, v, noise, tau: float = 0.9,
+                          interpret: bool = False):
+    """Straight-through fused grouping for TRAINING.
+
+    noise: Gumbel(0,1) of shape (B, G, L) — draw with
+    jax.random.gumbel(key, (B, G, L)) so trajectories match the jnp path
+    exactly. Returns (grouped, hard, soft); gradients match autodiff
+    through ops/grouping.group_assign_aggregate (STE: hard's cotangent
+    flows through the noised softmax)."""
+    out, hard, soft, _ = _call_kernel(q, k, v, noise, tau, True, interpret)
+    return out, hard, soft
+
+
+def _st_fwd(q, k, v, noise, tau, interpret):
+    out, hard, soft, y_soft = _call_kernel(q, k, v, noise, tau, True,
+                                           interpret)
+    return (out, hard, soft), (q, k, v, hard, soft, y_soft, out)
+
+
+def _st_bwd(tau, interpret, res, cots):
+    q, k, v, hard, soft, y_soft, out = res
+    d_out, d_hard, d_soft = cots
+    f32 = jnp.float32
+    hard32 = hard.astype(f32)
+    v32 = v.astype(f32)
+    out32 = out.astype(f32)
+    d_out32 = d_out.astype(f32)
+
+    c = jnp.sum(hard32, axis=-1, keepdims=True)             # (B,G,1)
+    n = jnp.maximum(c, 1.0)
+
+    g_bar = d_out32 / n                                     # d(out)/d(agg)
+    # max(c,1) subgradient matching jnp.maximum: 1 / 0.5 / 0
+    dmax = jnp.where(c > 1.0, 1.0, jnp.where(c == 1.0, 0.5, 0.0))
+    c_bar = -jnp.sum(d_out32 * out32, axis=-1, keepdims=True) / n * dmax
+
+    hard_bar = (d_hard.astype(f32)
+                + jnp.einsum("bgd,bld->bgl", g_bar, v32)
+                + c_bar)                                    # (B,G,L)
+    v_bar = jnp.einsum("bgl,bgd->bld", hard32, g_bar)
+
+    # STE: hard's cotangent flows to the noised softmax y_soft
+    z_bar = (hard_bar - jnp.sum(hard_bar * y_soft, axis=1,
+                                keepdims=True)) * y_soft
+    l_bar = z_bar / tau
+    # plain-softmax output path
+    s = d_soft.astype(f32)
+    l_bar = l_bar + (s - jnp.sum(s * soft, axis=1, keepdims=True)) * soft
+
+    q_bar = jnp.einsum("bgl,bld->bgd", l_bar, k.astype(f32))
+    k_bar = jnp.einsum("bgl,bgd->bld", l_bar, q.astype(f32))
+    return (q_bar.astype(q.dtype), k_bar.astype(k.dtype),
+            v_bar.astype(v.dtype), jnp.zeros_like(y_soft))
+
+
+fused_group_assign_st.defvjp(_st_fwd, _st_bwd)
