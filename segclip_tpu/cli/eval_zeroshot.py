@@ -29,8 +29,6 @@ def build_segmenter(model, params, cfg: ModelConfig, spec,
 
 
 def main(argv=None):
-    from segclip_tpu.utils.jax_setup import setup_jax
-    setup_jax()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--dataset", choices=sorted(DATASET_SPECS), default="voc")
     ap.add_argument("--data-root", required=True)
@@ -42,10 +40,22 @@ def main(argv=None):
                     help="override the per-dataset background threshold")
     ap.add_argument("--limit", type=int, default=None,
                     help="evaluate only the first N images")
+    ap.add_argument("--sharded", choices=["auto", "on", "off"],
+                    default="auto",
+                    help="batch images across the device mesh (auto: when "
+                         ">1 device/process is available)")
+    ap.add_argument("--dist-coordinator", default=None, metavar="HOST:PORT")
+    ap.add_argument("--dist-num-processes", type=int, default=None)
+    ap.add_argument("--dist-process-id", type=int, default=None)
     ap.add_argument("--output-dir", default="output/eval")
     ap.add_argument("--opts", nargs="*", default=[],
                     help="model config overrides key=value")
     args = ap.parse_args(argv)
+
+    from segclip_tpu.utils.jax_setup import setup_jax
+    setup_jax(coordinator=args.dist_coordinator,
+              num_processes=args.dist_num_processes,
+              process_id=args.dist_process_id)
 
     logger = get_logger(args.output_dir)
     cfg = ModelConfig()
@@ -64,7 +74,16 @@ def main(argv=None):
     dataset = SegEvalDataset(spec, args.data_root, limit=args.limit)
     logger.info("evaluating %d images", len(dataset))
 
-    results = evaluate_dataset(segmenter, dataset, logger=logger)
+    import jax
+    use_sharded = (args.sharded == "on"
+                   or (args.sharded == "auto"
+                       and (jax.local_device_count() > 1
+                            or jax.process_count() > 1)))
+    if use_sharded:
+        from segclip_tpu.evalseg.inference import evaluate_dataset_sharded
+        results = evaluate_dataset_sharded(segmenter, dataset, logger=logger)
+    else:
+        results = evaluate_dataset(segmenter, dataset, logger=logger)
     logger.info("mIoU=%.2f mAcc=%.2f aAcc=%.2f", results["mIoU"],
                 results["mAcc"], results["aAcc"])
     print(json.dumps({"dataset": spec.name, "mIoU": results["mIoU"],

@@ -376,12 +376,21 @@ def evaluate_dataset_sharded(segmenter: ZeroShotSegmenter, dataset,
     (multi_gpu_test, main_seg_zeroshot.py:137-146). Predictions (and thus
     mIoU) are identical to evaluate_dataset; a trailing partial group is
     padded with its own last image and the duplicates discarded.
+
+    Multi-host: each process evaluates its strided slice of the dataset on
+    its local mesh and the confusion-matrix accumulators are summed across
+    hosts (the reference's collect_results + rank-0 evaluate), so every
+    host returns the full-dataset metrics.
     """
+    import jax
     from segclip_tpu.parallel.mesh import make_mesh
+    n_proc = jax.process_count()
+    proc = jax.process_index()
     if mesh is None:
-        mesh = make_mesh()
+        mesh = make_mesh(devices=jax.local_devices()) if n_proc > 1 \
+            else make_mesh()
     n_images = int(np.prod(list(mesh.shape.values())))
-    if n_images == 1:
+    if n_images == 1 and n_proc == 1:
         return evaluate_dataset(segmenter, dataset, log_every, logger)
 
     meter = MIoUMeter(segmenter.num_classes,
@@ -406,8 +415,15 @@ def evaluate_dataset_sharded(segmenter: ZeroShotSegmenter, dataset,
             logger.info("eval %d/%d  running mIoU %.2f", n_done,
                         len(dataset), meter.results()["mIoU"])
 
+    def my_samples():
+        if n_proc == 1:
+            yield from dataset
+        else:                       # strided per-process dataset shard
+            for i in range(proc, len(dataset), n_proc):
+                yield dataset.load(i)
+
     groups: dict = {}
-    for sample in dataset:
+    for sample in my_samples():
         bucket_key, args = segmenter._slide_inputs(sample.image,
                                                    sample.orig_shape)
         groups.setdefault(bucket_key, []).append(
@@ -416,4 +432,10 @@ def evaluate_dataset_sharded(segmenter: ZeroShotSegmenter, dataset,
             flush(bucket_key, groups.pop(bucket_key))
     for bucket_key in sorted(groups):
         flush(bucket_key, groups.pop(bucket_key))
+
+    if n_proc > 1:                  # sum accumulators across hosts
+        from jax.experimental import multihost_utils
+        meter.set_state(
+            np.asarray(multihost_utils.process_allgather(
+                meter.state())).sum(axis=0))
     return meter.results(dataset.spec.classes)

@@ -42,6 +42,15 @@ class MIoUMeter:
         self.union -= np.bincount(inter, minlength=self.num_classes
                                   )[:self.num_classes]
 
+    def state(self) -> np.ndarray:
+        """Accumulator snapshot (4, C) — summable across shards/hosts."""
+        return np.stack([self.intersect, self.union, self.pred_area,
+                         self.label_area])
+
+    def set_state(self, state: np.ndarray) -> None:
+        self.intersect, self.union, self.pred_area, self.label_area = \
+            (np.asarray(row, np.float64) for row in state)
+
     def results(self, class_names: Sequence[str] = ()) -> Dict:
         with np.errstate(divide='ignore', invalid='ignore'):
             iou = self.intersect / self.union

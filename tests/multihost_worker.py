@@ -85,9 +85,26 @@ def main():
     miou = float(multihost_utils.broadcast_one_to_all(
         np.asarray(miou, np.float32)))
 
+    # cross-host mIoU-meter reduction (evalseg distributed eval): each
+    # process scores a different half; the reduced meter must equal a
+    # single meter fed both halves.
+    from segclip_tpu.evalseg.miou import MIoUMeter
+    rng2 = np.random.default_rng(9)
+    preds = rng2.integers(0, 5, size=(2, 20, 20))
+    labels = rng2.integers(0, 5, size=(2, 20, 20))
+    local = MIoUMeter(5)
+    local.update(preds[process_id], labels[process_id])
+    local.set_state(np.asarray(
+        multihost_utils.process_allgather(local.state())).sum(axis=0))
+    combined = MIoUMeter(5)
+    combined.update(preds[0], labels[0])
+    combined.update(preds[1], labels[1])
+    assert np.allclose(local.state(), combined.state()), "meter reduction"
+    reduced_miou = local.results()["mIoU"]
+
     with open(out_json, "w") as f:
         json.dump({"process_id": process_id, "losses": losses,
-                   "miou": miou,
+                   "miou": miou, "reduced_miou": reduced_miou,
                    "process_count": jax.process_count()}, f)
 
 

@@ -55,6 +55,9 @@ def test_two_process_training_matches_single_process(tmp_path):
                                rtol=1e-6)
     # the host-0 eval scalar reached process 1 through the broadcast
     assert results[0]["miou"] == results[1]["miou"] == 42.5
+    # the mIoU-meter cross-host reduction matched the combined meter and
+    # produced the same metrics on both processes
+    assert results[0]["reduced_miou"] == results[1]["reduced_miou"]
 
     # --- single-process oracle on this process's own 8-device mesh -------
     import jax
