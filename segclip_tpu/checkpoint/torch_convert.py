@@ -67,6 +67,17 @@ def infer_model_config(sd: Mapping[str, np.ndarray],
         transformer_layers=len({k.split(".")[2] for k in sd
                                 if k.startswith("transformer.resblocks")}),
     )
+    # SegCLIP-format checkpoints also carry the semantic learner: infer its
+    # group count and cross-attention depth so a segclip.bin trained with a
+    # non-default grouping bottleneck loads without manual config (the
+    # reference hardcodes these in task_config instead).
+    sl = "visual.transformer.semantic_layer2"
+    if f"{sl}.semantic_center" in sd:
+        kw["group_num"] = sd[f"{sl}.semantic_center"].shape[0]
+        cross = {k.split(".")[4] for k in sd
+                 if k.startswith(f"{sl}.cross_att.")}
+        if cross:
+            kw["cross_layer"] = len(cross)
     kw.update(overrides)
     return ModelConfig(**kw)
 

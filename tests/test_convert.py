@@ -277,3 +277,43 @@ def test_infer_model_config_segclip_format_counts_only_tower_blocks():
     assert cfg.vision_layers == TINY.vision_layers
     cfg2 = infer_model_config(sd, first_stage_layer=TINY.first_stage_layer)
     assert cfg2.vision_layers == TINY.vision_layers
+
+
+VARIANT = ModelConfig(
+    image_resolution=64, vision_patch_size=16, vision_width=128,
+    vision_layers=5, first_stage_layer=4, group_num=6, cross_layer=2,
+    context_length=20, vocab_size=300, transformer_width=64,
+    transformer_layers=3, embed_dim=48, max_words=10,
+    use_vision_mae_recon=True, use_text_mae_recon=True,
+    mae_decoder_depth=2, mae_decoder_num_heads=2, compute_dtype="float32")
+
+
+def test_variant_architecture_inference_and_conversion():
+    """Shape inference + conversion generalize beyond the ViT-B/16 default
+    (the reference builds any CLIP variant from checkpoint tensor shapes,
+    modeling.py:89-109, and hardcodes the grouping config): a
+    5-layer/128-wide variant with 6 groups and 2 cross layers is fully
+    re-inferred from its own checkpoint — including group_num/cross_layer,
+    which we infer from the semantic learner keys — and converts with zero
+    missing/unexpected params."""
+    sd = _synth_reference_state_dict(VARIANT)
+    cfg = infer_model_config(
+        sd, first_stage_layer=VARIANT.first_stage_layer,
+        use_text_mae_recon=True, mae_decoder_depth=2,
+        mae_decoder_num_heads=2, max_words=10, compute_dtype="float32")
+    for field in ("image_resolution", "vision_patch_size", "vision_width",
+                  "vision_layers", "group_num", "cross_layer",
+                  "context_length", "vocab_size", "transformer_width",
+                  "transformer_layers", "embed_dim"):
+        assert getattr(cfg, field) == getattr(VARIANT, field), field
+
+    _, init_params = init_segclip(cfg, seed=0)
+    converted = convert_state_dict(sd, cfg)
+    messages = []
+    merged = merge_params(init_params, converted, log_fn=messages.append)
+    assert not messages, "\n".join(messages)
+    center = np.asarray(
+        merged["clip"]["visual"]["transformer"]["semantic_layer2"]
+        ["semantic_center"])
+    np.testing.assert_array_equal(
+        center, sd["visual.transformer.semantic_layer2.semantic_center"])

@@ -231,3 +231,26 @@ def test_config_tuple_override():
     assert cfg.data.crop_scale == (0.6, 1.0)
     cfg = apply_overrides(Config(), ["data.crop_scale=0.7,0.9"])
     assert cfg.data.crop_scale == (0.7, 0.9)
+
+
+def test_encode_image_double_resolution_eval(tiny_model):
+    """Eval at 2× the training resolution: the learned pos embedding is
+    bicubic-interpolated to the larger grid (module_clip_vtransformer.py:
+    35-53) and the grouping stage handles the 4× longer patch sequence (the
+    reference's 4·patch_len² escape hatch, module_seg_vit.py:423, admits
+    448² inputs through the inference path)."""
+    model, params = tiny_model
+    big = jnp.asarray(RNG.normal(size=(2, 64, 64, 3)).astype(np.float32))
+    out = jax.jit(lambda p, im: model.apply(
+        {"params": p}, im,
+        method=lambda m, i: m.encode_image(i, training=False)))(params, big)
+    n_patch = (64 // TINY.vision_patch_size) ** 2
+    assert out.pooled.shape == (2, TINY.embed_dim)
+    assert out.hidden.shape == (2, 1 + TINY.group_num, TINY.embed_dim)
+    assert out.mid["soft_attn"].shape == (2, TINY.group_num, n_patch)
+    assert out.mid["hard_attn"].shape == (2, TINY.group_num, n_patch)
+    for leaf in (out.pooled, out.hidden, out.mid["soft_attn"]):
+        assert np.isfinite(np.asarray(leaf)).all()
+    # every patch hard-assigned to exactly one group
+    np.testing.assert_allclose(
+        np.asarray(out.mid["hard_attn"]).sum(axis=1), 1.0, atol=0)
