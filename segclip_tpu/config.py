@@ -93,6 +93,9 @@ class OptimConfig:
     """
     lr: float = 4e-3            # new modules (semantic/MAE/recon, new layers)
     lower_lr: float = 4e-6      # pretrained CLIP weights
+    # When lower_lr == 0 the pretrained-CLIP LR falls back to lr * coef_lr
+    # (reference main_task_align.py:226,460 — "coefficient for bert branch").
+    coef_lr: float = 1.0
     lower_text_lr: float = 0.0  # 0 → falls back to lower_lr
     warmup_proportion: float = 0.15
     schedule: str = "warmup_cosine"

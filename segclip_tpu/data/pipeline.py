@@ -164,10 +164,13 @@ class SyntheticDataset:
     def sample(self, idx: int, rng: np.random.Generator) -> Dict:
         ids = np.zeros(self.max_words, np.int32)
         n = int(rng.integers(4, self.max_words))
-        ids[0] = 49406
+        # start/end tokens at vocab-2/vocab-1 (= CLIP's 49406/49407 for the
+        # real vocab) so shrunken-vocab smoke configs never emit ids beyond
+        # the model's embedding table (OOB ids NaN-fill under jnp.take).
+        ids[0] = self.vocab - 2
         ids[1:n - 1] = rng.integers(1, min(self.vocab - 2, 49000),
                                     size=n - 2)
-        ids[n - 1] = 49407
+        ids[n - 1] = self.vocab - 1
         if self.normalize:
             image = rng.normal(size=(self.image_size, self.image_size, 3)
                                ).astype(np.float32) * 0.3
@@ -200,17 +203,19 @@ class ConcatDataset:
 
 
 def build_dataset(cfg: DataConfig, use_seg: bool = True,
-                  normalize: bool = True):
+                  normalize: bool = True, vocab_size: int = 49408):
     """datatype "synthetic" | comma-joined shard names ("cc,coco,").
 
     Also serves as the picklable per-worker dataset factory
-    (functools.partial(build_dataset, cfg, use_seg, normalize))."""
+    (functools.partial(build_dataset, cfg, use_seg, normalize)).
+    vocab_size bounds SYNTHETIC token ids to the model's embedding table."""
     names = [n for n in cfg.datatype.split(",") if n]
     parts = []
     for name in names:
         if name == "synthetic":
             parts.append(SyntheticDataset(max_words=cfg.max_words,
                                           use_seg=use_seg,
+                                          vocab_size=vocab_size,
                                           normalize=normalize))
         else:
             parts.append(PairRecordDataset(name, cfg.data_dir,

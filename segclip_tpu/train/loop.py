@@ -42,7 +42,8 @@ def train(cfg: Config, init_model: Optional[str] = None,
 
     # Pipeline ships uint8 images; the train step normalizes on device.
     dataset = build_dataset(cfg.data, use_seg=cfg.model.use_seglabel,
-                            normalize=False)
+                            normalize=False,
+                            vocab_size=cfg.model.vocab_size)
     n_hosts = jax.process_count()
     host = jax.process_index()
     sampler = ShardedEpochSampler(len(dataset), cfg.data.batch_size,
@@ -56,7 +57,7 @@ def train(cfg: Config, init_model: Optional[str] = None,
         num_workers=num_workers,
         dataset_factory=functools.partial(
             build_dataset, cfg.data, use_seg=cfg.model.use_seglabel,
-            normalize=False))
+            normalize=False, vocab_size=cfg.model.vocab_size))
     steps_per_epoch = sampler.steps
     if steps_per_epoch == 0:
         raise ValueError(

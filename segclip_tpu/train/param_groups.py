@@ -84,7 +84,7 @@ def _map_paths(params: Any, fn) -> Any:
 
 def lr_wd_trees(params: Any, cfg: OptimConfig) -> Tuple[Any, Any]:
     """Per-leaf peak LR and weight-decay pytrees."""
-    lower_lr = cfg.lower_lr if cfg.lower_lr > 0 else cfg.lr
+    lower_lr = cfg.lower_lr if cfg.lower_lr > 0 else cfg.lr * cfg.coef_lr
     lower_text_lr = cfg.lower_text_lr if cfg.lower_text_lr > 0 else lower_lr
     group_lr = {"clip_freeze": lower_lr, "clip_text_freeze": lower_text_lr,
                 "clip_train": cfg.lr, "other": cfg.lr}

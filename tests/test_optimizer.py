@@ -201,3 +201,14 @@ def test_lr_wd_trees_structure():
     assert lr_tree["vis_mae_decoder"]["decoder_pred"]["kernel"] == 4e-3
     assert wd_tree["clip"]["visual"]["ln_pre"]["bias"] == 0.0
     assert wd_tree["clip"]["visual"]["proj"] == 0.05
+
+
+def test_lr_coef_fallback():
+    """lower_lr == 0 → pretrained-CLIP LR falls back to lr * coef_lr
+    (reference main_task_align.py:226,460)."""
+    params = {"clip": {"logit_scale": jnp.zeros(())},
+              "vis_mae_decoder": {"w": jnp.zeros((2, 2))}}
+    cfg = OptimConfig(lr=4e-3, lower_lr=0.0, coef_lr=0.5)
+    lr_tree, _ = lr_wd_trees(params, cfg)
+    assert lr_tree["clip"]["logit_scale"] == 4e-3 * 0.5
+    assert lr_tree["vis_mae_decoder"]["w"] == 4e-3
