@@ -35,14 +35,14 @@ import numpy as np
 BASELINE_IMG_S_PER_CHIP = 300.0
 CHIP_TFLOPS_BF16 = 154.0           # measured on 4k matmuls (docs/PERF.md)
 CORPUS_DIR = "/tmp/segclip_bench_data"
-CORPUS_IMAGES = 512
 CORPUS_CAPS_PER_IMAGE = 2
 
 
-def ensure_corpus() -> str:
+def ensure_corpus(n_images: int) -> str:
     """Generate (once) a packed SGR corpus of smooth synthetic JPEGs with
-    captions and felzenszwalb superpixel maps; cached across runs."""
-    marker = os.path.join(CORPUS_DIR, f"ok_{CORPUS_IMAGES}")
+    captions and felzenszwalb superpixel maps; cached across runs (the
+    marker is keyed on the image count, so a bigger-batch host regenerates)."""
+    marker = os.path.join(CORPUS_DIR, f"ok_{n_images}")
     if os.path.exists(marker):
         return CORPUS_DIR
     from PIL import Image
@@ -55,7 +55,7 @@ def ensure_corpus() -> str:
     with SgrWriter(os.path.join(CORPUS_DIR, "bench_images.sgr")) as wi, \
             SgrWriter(os.path.join(CORPUS_DIR, "bench_captions.sgr")) as wc, \
             SgrWriter(os.path.join(CORPUS_DIR, "bench_seg.sgr")) as ws:
-        for i in range(CORPUS_IMAGES):
+        for i in range(n_images):
             h, w = 224, int(rng.integers(224, 321))
             # low-frequency content → realistic JPEG size/decode cost
             small = rng.integers(0, 256, (14, 14, 3)).astype(np.uint8)
@@ -147,14 +147,20 @@ def main():
     img_s = batch * n_steps / dt
     img_s_chip = img_s / n_dev
     ms_per_step = dt / n_steps * 1e3
-    tflops_s = flops / (dt / n_steps) / 1e12
-    mfu = tflops_s / (CHIP_TFLOPS_BF16 * n_dev)
+    # cost_analysis reports the post-SPMD-partitioning module, i.e. ONE
+    # device's flops — so flops/step_time is already per-chip TFLOP/s and
+    # divides by the single-chip peak (not peak × n_dev).
+    tflops_s_chip = flops / (dt / n_steps) / 1e12
+    mfu = tflops_s_chip / CHIP_TFLOPS_BF16
 
     # ---- end-to-end: records → BatchLoader → step -----------------------
     from segclip_tpu.data.pipeline import (BatchLoader, PairRecordDataset,
                                            ShardedEpochSampler,
                                            _assemble_batch)
-    corpus = ensure_corpus()
+    # enough records for ≥4 e2e steps (1 warm + ≥3 timed) at this host's
+    # global batch — a v5e-8's batch of 768 needs more than the 1-chip 512
+    corpus_images = max(512, -(-batch * 4 // CORPUS_CAPS_PER_IMAGE))
+    corpus = ensure_corpus(corpus_images)
     ds = PairRecordDataset("bench", corpus, max_words=cfg_m.max_words,
                            use_seg=True, normalize=False)
     sampler = ShardedEpochSampler(len(ds), global_batch=batch)
@@ -188,7 +194,7 @@ def main():
         "unit": "img/s/chip",
         "vs_baseline": round(img_s_chip / BASELINE_IMG_S_PER_CHIP, 3),
         "ms_per_step": round(ms_per_step, 1),
-        "tflops_per_sec": round(tflops_s, 1),
+        "tflops_per_sec_per_chip": round(tflops_s_chip, 1),
         "mfu_vs_calibrated_154": round(mfu, 3),
         "e2e_img_s_per_chip": round(e2e_img_s_chip, 2),
         "host_decode_samples_per_sec": round(host_rate, 1),

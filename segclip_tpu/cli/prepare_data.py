@@ -133,7 +133,8 @@ def _pack_one_tar(task):
     base = os.path.basename(tar_path)
     tmp_img = os.path.join(tmp_dir, f"{base}_images.sgr")
     tmp_cap = os.path.join(tmp_dir, f"{base}_captions.sgr")
-    n_ok, n_bad = 0, 0
+    n_ok = 0
+    errors: list = []                 # (stem, reason) — parent logs each
     pending: dict = {}
     with SgrWriter(tmp_img) as wi, SgrWriter(tmp_cap) as wc, \
             tarfile.open(tar_path) as tf:
@@ -157,10 +158,12 @@ def _pack_one_tar(task):
                         "utf-8", errors="replace").strip()
                     wc.add(f"{base}/{stem}", json.dumps([caption]).encode())
                     n_ok += 1
-                except Exception:
-                    n_bad += 1
+                except Exception as e:
+                    errors.append((stem, f"{type(e).__name__}: {e}"))
                 del pending[stem]
-    return tar_path, tmp_img, tmp_cap, n_ok, n_bad + len(pending)
+    errors.extend((stem, "unpaired member (missing image or caption)")
+                  for stem in pending)
+    return tar_path, tmp_img, tmp_cap, n_ok, errors
 
 
 def _append_sgr(writer: SgrWriter, path: str) -> None:
@@ -187,17 +190,23 @@ def cmd_pack_tars(args):
     tasks = [(t, tmp_dir, args.short_side, args.quality) for t in tars]
     n_ok = n_bad = 0
     with SgrWriter(out_img) as wi, SgrWriter(out_cap) as wc:
-        for tar_path, tmp_img, tmp_cap, ok, bad in _pool_imap(
+        for tar_path, tmp_img, tmp_cap, ok, errors in _pool_imap(
                 _pack_one_tar, tasks, args.workers, chunksize=1):
             _append_sgr(wi, tmp_img)
             _append_sgr(wc, tmp_cap)
             os.remove(tmp_img)
             os.remove(tmp_cap)
             n_ok += ok
-            n_bad += bad
+            n_bad += len(errors)
+            for stem, reason in errors:
+                logger.warning("skip %s/%s: %s",
+                               os.path.basename(tar_path), stem, reason)
             logger.info("%s done (%d packed, %d bad so far)",
                         os.path.basename(tar_path), n_ok, n_bad)
-    os.rmdir(tmp_dir)
+    # rmtree, not rmdir: stale temp shards from a previously interrupted
+    # run are tolerated at start (exist_ok) and must not fail the exit.
+    import shutil
+    shutil.rmtree(tmp_dir, ignore_errors=True)
     logger.info("packed %d pairs → %s", n_ok, out_img)
 
 
@@ -230,9 +239,19 @@ def cmd_superpixels(args):
 
     chunk = max(1, args.chunk_size)
     bounds = [(s, min(s + chunk, n)) for s in range(0, n, chunk)]
-    tasks = [(images_path, f"{out}.part{k}", s, e,
+    # Part names encode their [start,end) bounds: a resume with a DIFFERENT
+    # --chunk-size (or a re-packed images shard of another length) cannot
+    # silently merge stale chunks — mismatched parts are simply not reused.
+    tasks = [(images_path, f"{out}.part{s}_{e}", s, e,
               args.scale, args.sigma, args.min_size)
-             for k, (s, e) in enumerate(bounds)]
+             for s, e in bounds]
+    expected = {t[1] for t in tasks}
+    stale = [p for p in glob.glob(f"{out}.part*")
+             if p not in expected and not p.endswith(".tmp")]
+    for p in stale:
+        logger.warning("ignoring stale chunk %s (bounds don't match the "
+                       "current --chunk-size/shard — delete it or rerun "
+                       "with the original settings to reuse it)", p)
 
     done = 0
     parts = []
@@ -243,10 +262,11 @@ def cmd_superpixels(args):
         logger.info("superpixels %d/%d%s", done, n,
                     " (chunk resumed)" if resumed else "")
 
-    # reduce: merge parts in index order, then clean up
+    # reduce: merge parts in start-index order, then clean up
     with SgrWriter(out) as w:
-        for part_path in sorted(parts,
-                                key=lambda p: int(p.rsplit("part", 1)[1])):
+        for part_path in sorted(
+                parts,
+                key=lambda p: int(p.rsplit("part", 1)[1].split("_")[0])):
             _append_sgr(w, part_path)
     for part_path in parts:
         os.remove(part_path)

@@ -54,9 +54,11 @@ class ModelConfig:
     # Attention: "xla" only (a Pallas flash kernel was slower at these
     # sequence lengths and was removed — docs/PERF.md).
     attention_impl: str = "xla"
-    # Grouping: "auto" uses the fused Pallas kernel on TPU for BOTH eval and
-    # training (training via a custom straight-through VJP); "jnp" forces
-    # the reference path, "pallas" forces fused (interpret mode off-TPU).
+    # Grouping: "auto" uses the fused Pallas kernel on TPU for the
+    # deterministic EVAL path only (training defaults to the jnp path — the
+    # kernel's straight-through VJP measured a wash at B=96, docs/PERF.md);
+    # "pallas" forces the fused kernel for training too (interpret mode
+    # off-TPU); "jnp" forces the reference einsum path everywhere.
     grouping_impl: str = "auto"
     # Rematerialize transformer blocks in the backward pass (trades ~30%
     # FLOPs for activation memory — enables much larger per-chip batches).

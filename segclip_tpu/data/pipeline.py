@@ -417,7 +417,22 @@ class BatchLoader:
                     yield pending.pop(next_step)
                     next_step += 1
                     continue
-                status, ep, step, payload = self._result_q.get()
+                try:
+                    # Bounded get + liveness check: a worker killed outside
+                    # Python (OOM killer, native segfault) never posts its
+                    # result — without this the consumer blocks forever.
+                    status, ep, step, payload = self._result_q.get(
+                        timeout=5.0)
+                except queue.Empty:
+                    dead = [p.pid for p in self._procs if not p.is_alive()]
+                    if dead:
+                        raise RuntimeError(
+                            f"data worker process(es) {dead} died "
+                            f"(exit codes "
+                            f"{[p.exitcode for p in self._procs if not p.is_alive()]}) "
+                            f"— likely OOM-killed or crashed in native "
+                            f"decode") from None
+                    continue
                 if ep != epoch:
                     continue             # stale result from a torn-down run
                 if status == "err":

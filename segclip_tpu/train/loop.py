@@ -95,8 +95,26 @@ def train(cfg: Config, init_model: Optional[str] = None,
         grad_accum_steps=cfg.train.grad_accum_steps, trainable=trainable)
 
     ckpts = []
+    try:
+        result = _run_epochs(
+            cfg, range(start_epoch, cfg.train.epochs), loader, step_fn,
+            state, model, mesh, steps_per_epoch, t_total, n_hosts, host,
+            eval_fn, logger, metrics_writer, ckpts)
+    finally:
+        # always tear the decode worker pool down — a step failure or
+        # KeyboardInterrupt must not leak spawned processes when train()
+        # is used as a library function.
+        loader.close()
+    return {"epochs_run": cfg.train.epochs - start_epoch,
+            "final_loss": result["final_loss"], "checkpoints": ckpts,
+            "state": result["state"], "model": model}
+
+
+def _run_epochs(cfg, epochs, loader, step_fn, state, model, mesh,
+                steps_per_epoch, t_total, n_hosts, host, eval_fn, logger,
+                metrics_writer, ckpts) -> dict:
     final_loss = float("nan")
-    for epoch in range(start_epoch, cfg.train.epochs):
+    for epoch in epochs:
         t_start = time.time()
         window_start = time.time()
         n_steps = 0
@@ -142,7 +160,17 @@ def train(cfg: Config, init_model: Optional[str] = None,
             miou = float("nan")
             if host == 0:
                 try:
-                    miou = float(eval_fn(model, state.params))
+                    eval_params = state.params
+                    if n_hosts > 1:
+                        # Params live on the multi-process global mesh and
+                        # are not usable from a single-process jit. They are
+                        # fully replicated, so host 0's first addressable
+                        # shard IS the full value — fetch host-local copies
+                        # for the local-device segmenter.
+                        eval_params = jax.tree.map(
+                            lambda x: np.asarray(
+                                x.addressable_shards[0].data), state.params)
+                    miou = float(eval_fn(model, eval_params))
                 except Exception as e:       # eval must not kill training
                     logger.warning("per-epoch eval failed: %s", e)
             if n_hosts > 1:
@@ -155,7 +183,4 @@ def train(cfg: Config, init_model: Optional[str] = None,
                     metrics_writer.write(int(state.step), epoch=epoch,
                                          miou=miou)
 
-    loader.close()
-    return {"epochs_run": cfg.train.epochs - start_epoch,
-            "final_loss": final_loss, "checkpoints": ckpts,
-            "state": state, "model": model}
+    return {"final_loss": final_loss, "state": state}

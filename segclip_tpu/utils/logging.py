@@ -13,26 +13,36 @@ from typing import Optional
 _LOGGER: Optional[logging.Logger] = None
 
 
+_FMT = logging.Formatter("%(asctime)s %(levelname)s %(message)s",
+                         "%Y-%m-%d %H:%M:%S")
+
+
 def get_logger(output_dir: Optional[str] = None,
                name: str = "segclip_tpu") -> logging.Logger:
+    """Returns the singleton logger. When `output_dir` is given, a
+    <output_dir>/log.txt FileHandler is attached if that file isn't already
+    a target — so a library-mode caller (tests, notebooks, sequential CLI
+    mains in one process) that first logged without a dir still gets its
+    log file later."""
     global _LOGGER
-    if _LOGGER is not None:
-        return _LOGGER
-    logger = logging.getLogger(name)
-    logger.setLevel(logging.INFO)
-    logger.propagate = False
-    fmt = logging.Formatter("%(asctime)s %(levelname)s %(message)s",
-                            "%Y-%m-%d %H:%M:%S")
-    sh = logging.StreamHandler(sys.stderr)
-    sh.setFormatter(fmt)
-    logger.addHandler(sh)
+    if _LOGGER is None:
+        logger = logging.getLogger(name)
+        logger.setLevel(logging.INFO)
+        logger.propagate = False
+        sh = logging.StreamHandler(sys.stderr)
+        sh.setFormatter(_FMT)
+        logger.addHandler(sh)
+        _LOGGER = logger
     if output_dir:
         os.makedirs(output_dir, exist_ok=True)
-        fh = logging.FileHandler(os.path.join(output_dir, "log.txt"))
-        fh.setFormatter(fmt)
-        logger.addHandler(fh)
-    _LOGGER = logger
-    return logger
+        path = os.path.abspath(os.path.join(output_dir, "log.txt"))
+        existing = {getattr(h, "baseFilename", None)
+                    for h in _LOGGER.handlers}
+        if path not in existing:
+            fh = logging.FileHandler(path)
+            fh.setFormatter(_FMT)
+            _LOGGER.addHandler(fh)
+    return _LOGGER
 
 
 class MetricWriter:

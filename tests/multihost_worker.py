@@ -79,9 +79,27 @@ def main():
         state, metrics = step(state, shard_batch(mesh, local_batch))
         losses.append(float(metrics["loss"]))
 
-    # host-0 eval + scalar broadcast (train/loop.py per-epoch flow)
+    # host-0 eval + scalar broadcast (train/loop.py per-epoch flow).
+    # The eval itself exercises the real failure mode: post-step params are
+    # global multi-process arrays, unusable from a single-process jit —
+    # loop.py fetches host-local replicas first; reproduce that here and
+    # prove the fetched params drive a local jit.
     from jax.experimental import multihost_utils
-    miou = 42.5 if jax.process_index() == 0 else float("nan")
+    miou = float("nan")
+    if jax.process_index() == 0:
+        eval_params = jax.tree.map(
+            lambda x: np.asarray(x.addressable_shards[0].data), state.params)
+
+        def eval_forward(params, image):
+            return model.apply(
+                {"params": params}, image,
+                method=lambda m, im: m.encode_image(im,
+                                                    training=False)).pooled
+
+        pooled = jax.jit(eval_forward)(
+            eval_params, jnp.zeros((1, 32, 32, 3), jnp.float32))
+        assert np.all(np.isfinite(np.asarray(pooled))), "local eval forward"
+        miou = 42.5
     miou = float(multihost_utils.broadcast_one_to_all(
         np.asarray(miou, np.float32)))
 

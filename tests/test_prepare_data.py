@@ -58,18 +58,24 @@ def test_superpixels_parallel_matches_serial_and_resumes(tmp_path):
 
     prepare_data.main(["superpixels", "--name", "c", "--data-dir", str(o1),
                        "--chunk-size", "2", "--workers", "1"])
-    # parallel run with a pre-completed chunk (simulated resume)
-    task = (str(o2 / "c_images.sgr"), str(o2 / "c_seg.sgr.part1"), 2, 4,
+    # parallel run with a pre-completed chunk (simulated resume) — part
+    # names encode their [start, end) record bounds
+    task = (str(o2 / "c_images.sgr"), str(o2 / "c_seg.sgr.part2_4"), 2, 4,
             224.0, 0.9, 224)
     prepare_data._superpixel_chunk(task)
-    assert os.path.exists(o2 / "c_seg.sgr.part1")
+    assert os.path.exists(o2 / "c_seg.sgr.part2_4")
+    # a stale chunk from a run with a DIFFERENT chunk size must be ignored
+    # (not merged), not corrupt the output
+    (o2 / "c_seg.sgr.part0_3").write_bytes(b"SGR0bogus")
     prepare_data.main(["superpixels", "--name", "c", "--data-dir", str(o2),
                        "--chunk-size", "2", "--workers", "2"])
 
     a = (o1 / "c_seg.sgr").read_bytes()
     b = (o2 / "c_seg.sgr").read_bytes()
     assert a == b
-    assert not list(o2.glob("c_seg.sgr.part*")), "parts not cleaned up"
+    leftovers = list(o2.glob("c_seg.sgr.part*"))
+    assert leftovers == [o2 / "c_seg.sgr.part0_3"], \
+        "matching parts must be cleaned up; stale parts left for the user"
     # payload sanity: one seg map per image, decodable
     r = SgrReader(str(o1 / "c_seg.sgr"))
     assert len(r) == len(SgrReader(str(o1 / "c_images.sgr")))
