@@ -108,6 +108,9 @@ class OptimConfig:
     eps: float = 1e-6
     weight_decay: float = 0.05
     max_grad_norm: float = 1.0
+    # Adam moment STORAGE dtype ("bfloat16" halves optimizer HBM footprint
+    # and traffic; update math stays fp32). fp32 = reference semantics.
+    moment_dtype: str = "float32"
     # Freeze controls (reference main_task_align.py:386-441)
     freeze_layer_num: int = 0
     freeze_text_layer_num: int = 0

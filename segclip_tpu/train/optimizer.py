@@ -64,15 +64,24 @@ def adapt_adamw(
     eps: float = 1e-6,
     lr_start: float = 0.0,
     lr_end: float = 0.0,
+    moment_dtype: str = "float32",
 ) -> optax.GradientTransformation:
     """lr_tree/wd_tree/trainable_tree: pytrees of scalars matching params
-    (per-leaf peak LR, weight decay, and trainability)."""
+    (per-leaf peak LR, weight decay, and trainability).
+
+    moment_dtype: storage dtype for the Adam moments. "bfloat16" halves the
+    optimizer's HBM footprint and read/write traffic (2×N params × 4B →
+    2B); the update math always runs in fp32, only the carried m/v are
+    rounded. fp32 (the reference's torch semantics) is the default."""
     schedule_fct = SCHEDULES[schedule]
+    mdt = jnp.dtype(moment_dtype)
 
     def init_fn(params):
-        zeros = jax.tree.map(jnp.zeros_like, params)
-        return AdaptAdamWState(step=jnp.zeros((), jnp.int32), mu=zeros,
-                               nu=jax.tree.map(jnp.zeros_like, params))
+        def zeros(p):
+            return jnp.zeros(p.shape, mdt)
+        return AdaptAdamWState(step=jnp.zeros((), jnp.int32),
+                               mu=jax.tree.map(zeros, params),
+                               nu=jax.tree.map(zeros, params))
 
     def update_fn(grads, state, params):
         if params is None:
@@ -89,14 +98,15 @@ def adapt_adamw(
 
         def upd(g, m, v, p, lr, wd, trainable):
             g32 = g.astype(jnp.float32)
-            m = b1 * m + (1.0 - b1) * g32
-            v = b2 * v + (1.0 - b2) * jnp.square(g32)
+            m = b1 * m.astype(jnp.float32) + (1.0 - b1) * g32
+            v = b2 * v.astype(jnp.float32) + (1.0 - b2) * jnp.square(g32)
             lr_t = lr * sched
             denom = jnp.sqrt(v) / jnp.sqrt(bc2) + eps
             delta = -p.astype(jnp.float32) * lr_t * wd - (lr_t / bc1) * m / denom
             if not trainable:
-                return jnp.zeros_like(p), jnp.zeros_like(m), jnp.zeros_like(v)
-            return delta.astype(p.dtype), m, v
+                z = jnp.zeros(m.shape, mdt)
+                return jnp.zeros_like(p), z, z
+            return delta.astype(p.dtype), m.astype(mdt), v.astype(mdt)
 
         out = jax.tree.map(upd, grads, state.mu, state.nu, params, lr_tree,
                            wd_tree, trainable_tree)

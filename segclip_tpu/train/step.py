@@ -50,7 +50,8 @@ def create_train_state(cfg: Config, params: Any, t_total: int,
                      warmup=cfg.optim.warmup_proportion,
                      schedule=cfg.optim.schedule, b1=cfg.optim.b1,
                      b2=cfg.optim.b2, eps=cfg.optim.eps,
-                     lr_start=cfg.optim.lr_start, lr_end=cfg.optim.lr_end)
+                     lr_start=cfg.optim.lr_start, lr_end=cfg.optim.lr_end,
+                     moment_dtype=cfg.optim.moment_dtype)
     # jit the optimizer init: eager zeros_like would dispatch one remote
     # compile per distinct tensor shape on tunneled backends.
     opt_state = jax.jit(tx.init)(params)
@@ -74,7 +75,17 @@ def _normalize_images(batch: dict) -> dict:
     return batch
 
 
-def _loss_fn(params, model: SegCLIP, batch, rngs, axis_name):
+def _loss_fn(params, model: SegCLIP, batch, rngs, axis_name,
+             trainable=None):
+    if trainable is not None:
+        # requires_grad=False equivalent AT THE AD LEVEL: cutting the
+        # cotangent edge here means XLA never emits the frozen weights'
+        # backward ops (conv1 dW + the patchify backward chain, the
+        # token-embedding scatter-add, pos-embed reductions) instead of
+        # computing them and zeroing afterwards.
+        params = jax.tree.map(
+            lambda p, t: p if t else jax.lax.stop_gradient(p),
+            params, trainable)
     losses = model.apply({"params": params}, batch["input_ids"],
                          batch["attention_mask"], batch["image"],
                          batch.get("image_seg"), training=True,
@@ -103,7 +114,7 @@ def train_step_fn(state: TrainState, batch: dict, model: SegCLIP, tx,
         g_rng, m_rng = jax.random.split(step_rng)
         rngs = {"gumbel": g_rng, "mae": m_rng}
         (loss, losses), grads = grad_fn(state.params, model, batch, rngs,
-                                        axis_name)
+                                        axis_name, trainable)
     else:
         def split_micro(x):
             b = x.shape[0]
@@ -121,7 +132,7 @@ def train_step_fn(state: TrainState, batch: dict, model: SegCLIP, tx,
             g_rng, m_rng = jax.random.split(r)
             (_, losses_i), grads_i = grad_fn(
                 state.params, model, mb, {"gumbel": g_rng, "mae": m_rng},
-                axis_name)
+                axis_name, trainable)
             acc_grads = jax.tree.map(jnp.add, acc_grads, grads_i)
             return (acc_grads, idx + 1), losses_i
 

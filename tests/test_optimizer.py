@@ -74,6 +74,33 @@ def test_adapt_adamw_matches_oracle_two_groups():
                                    atol=1e-7, err_msg=k)
 
 
+def test_bf16_moments_track_fp32():
+    """moment_dtype=bfloat16: moments stored rounded (half the optimizer
+    HBM), math in fp32 — trajectories stay close to the fp32 path."""
+    shape = (16, 8)
+    params = RNG.normal(size=shape).astype(np.float32)
+
+    def run(moment_dtype):
+        tx = adapt_adamw(lr_tree=1e-2, wd_tree=0.05, trainable_tree=True,
+                         t_total=20, warmup=0.15, moment_dtype=moment_dtype)
+        p = jnp.asarray(params)
+        st = tx.init(p)
+        rng = np.random.default_rng(11)
+        for _ in range(8):
+            g = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+            upd, st = tx.update(g, st, p)
+            p = p + upd
+        return np.asarray(p), st
+
+    p32, _ = run("float32")
+    pbf, st = run("bfloat16")
+    assert st.mu.dtype == jnp.bfloat16 and st.nu.dtype == jnp.bfloat16
+    # bf16 has ~3 decimal digits; after 8 steps at lr 1e-2 the param delta
+    # is O(1e-2) per step — demand agreement well inside the update scale.
+    np.testing.assert_allclose(pbf, p32, rtol=0, atol=2e-3)
+    assert not np.allclose(pbf, params)       # it did actually train
+
+
 def test_frozen_leaves_untouched():
     params = {"w": jnp.ones((3,)), "f": jnp.ones((3,))}
     tx = adapt_adamw(lr_tree={"w": 0.1, "f": 0.1},
