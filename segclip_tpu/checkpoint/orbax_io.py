@@ -68,11 +68,13 @@ def restore_checkpoint(path: str, state: Any,
                        sharding: Any = None) -> tuple[Any, int]:
     """Restore into a template TrainState; returns (state, epoch).
 
-    `sharding` (e.g. a replicated NamedSharding over the training mesh)
-    restores arrays directly onto the mesh — required under a multi-device
-    mesh (a plain restore commits to device 0 and then clashes with
-    mesh-sharded step inputs) and the multi-host-correct path (each host
-    reads only its addressable shards)."""
+    `sharding` restores arrays directly onto the mesh — required under a
+    multi-device mesh (a plain restore commits to device 0 and then clashes
+    with mesh-sharded step inputs) and the multi-host-correct path (each
+    host reads only its addressable shards). Either ONE Sharding applied to
+    every leaf (the replicated dp case) or a TrainState-shaped pytree of
+    per-leaf shardings (the GSPMD dp×tp case, parallel/gspmd.py
+    state_shardings)."""
     ckptr = ocp.StandardCheckpointer()
     template = {"params": state.params, "opt_state_mu": state.opt_state.mu,
                 "opt_state_nu": state.opt_state.nu,
@@ -80,10 +82,19 @@ def restore_checkpoint(path: str, state: Any,
                 "step": state.step,
                 "epoch": jax.numpy.asarray(0, np.int32)}
     if sharding is not None:
+        if isinstance(sharding, jax.sharding.Sharding):
+            sh_tree = jax.tree.map(lambda _: sharding, template)
+        else:                       # TrainState-shaped pytree of shardings
+            rep = sharding.step
+            sh_tree = {"params": sharding.params,
+                       "opt_state_mu": sharding.opt_state.mu,
+                       "opt_state_nu": sharding.opt_state.nu,
+                       "opt_step": sharding.opt_state.step,
+                       "step": sharding.step, "epoch": rep}
         template = jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(jax.numpy.shape(x),
-                                           x.dtype, sharding=sharding),
-            template)
+            lambda x, s: jax.ShapeDtypeStruct(jax.numpy.shape(x),
+                                              x.dtype, sharding=s),
+            template, sh_tree)
     restored = ckptr.restore(_abs(path), template)
     new_state = state.replace(
         step=restored["step"], params=restored["params"],

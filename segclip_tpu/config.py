@@ -143,8 +143,12 @@ class TrainConfig:
     log_every: int = 50
     output_dir: str = "output"
     resume: Optional[str] = None
-    # mesh axis sizes; -1 on `data` means "all devices"
+    # mesh axis sizes; -1 on `data` means "all devices (÷ tp)".
     data_parallelism: int = -1
+    # >1 switches the loop to the GSPMD dp×tp step (parallel/gspmd.py):
+    # Megatron-sharded attention/MLP kernels over a `model` axis, XLA-
+    # inserted collectives. Not needed at ViT-B scale; for larger widths.
+    tensor_parallelism: int = 1
     eval_each_epoch: bool = True
 
 

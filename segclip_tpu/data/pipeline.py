@@ -203,12 +203,15 @@ class ConcatDataset:
 
 
 def build_dataset(cfg: DataConfig, use_seg: bool = True,
-                  normalize: bool = True, vocab_size: int = 49408):
+                  normalize: bool = True, vocab_size: int = 49408,
+                  image_size: int = 224, patch_size: int = 16):
     """datatype "synthetic" | comma-joined shard names ("cc,coco,").
 
     Also serves as the picklable per-worker dataset factory
     (functools.partial(build_dataset, cfg, use_seg, normalize)).
-    vocab_size bounds SYNTHETIC token ids to the model's embedding table."""
+    vocab_size / image_size / patch_size come from the MODEL config so the
+    produced samples always match the model's embedding table, input
+    resolution, and superpixel grid."""
     names = [n for n in cfg.datatype.split(",") if n]
     parts = []
     for name in names:
@@ -216,11 +219,15 @@ def build_dataset(cfg: DataConfig, use_seg: bool = True,
             parts.append(SyntheticDataset(max_words=cfg.max_words,
                                           use_seg=use_seg,
                                           vocab_size=vocab_size,
+                                          image_size=image_size,
+                                          patch_size=patch_size,
                                           normalize=normalize))
         else:
             parts.append(PairRecordDataset(name, cfg.data_dir,
                                            max_words=cfg.max_words,
                                            use_seg=use_seg,
+                                           image_size=image_size,
+                                           patch_size=patch_size,
                                            fast_decode=cfg.fast_decode,
                                            crop_scale=cfg.crop_scale,
                                            normalize=normalize))

@@ -92,6 +92,22 @@ def state_shardings(state, mesh: Mesh):
         opt_state=state.opt_state._replace(step=rep, mu=p_sh, nu=p_sh))
 
 
+def fetch_replicated(tree: Any, mesh: Mesh) -> Any:
+    """Host-local numpy copies of a (possibly TP-sharded) global tree.
+
+    A jit identity with replicated out_shardings makes XLA all-gather any
+    sharded leaves; each host then reads its first addressable shard, which
+    for a replicated array IS the full value. Under multi-host meshes this
+    is a collective program — EVERY process must call it (gate any
+    host-0-only consumer after, not before)."""
+    rep = NamedSharding(mesh, P())
+
+    gathered = jax.jit(lambda t: t,
+                       out_shardings=jax.tree.map(lambda _: rep, tree))(tree)
+    return jax.tree.map(lambda x: np.asarray(x.addressable_shards[0].data),
+                        gathered)
+
+
 def make_gspmd_train_step(mesh: Mesh, model, tx, state,
                           max_grad_norm: float = 1.0,
                           grad_accum_steps: int = 1,

@@ -43,7 +43,9 @@ def train(cfg: Config, init_model: Optional[str] = None,
     # Pipeline ships uint8 images; the train step normalizes on device.
     dataset = build_dataset(cfg.data, use_seg=cfg.model.use_seglabel,
                             normalize=False,
-                            vocab_size=cfg.model.vocab_size)
+                            vocab_size=cfg.model.vocab_size,
+                            image_size=cfg.model.image_resolution,
+                            patch_size=cfg.model.vision_patch_size)
     n_hosts = jax.process_count()
     host = jax.process_index()
     sampler = ShardedEpochSampler(len(dataset), cfg.data.batch_size,
@@ -57,7 +59,9 @@ def train(cfg: Config, init_model: Optional[str] = None,
         num_workers=num_workers,
         dataset_factory=functools.partial(
             build_dataset, cfg.data, use_seg=cfg.model.use_seglabel,
-            normalize=False, vocab_size=cfg.model.vocab_size))
+            normalize=False, vocab_size=cfg.model.vocab_size,
+            image_size=cfg.model.image_resolution,
+            patch_size=cfg.model.vision_patch_size))
     steps_per_epoch = sampler.steps
     if steps_per_epoch == 0:
         raise ValueError(
@@ -79,20 +83,46 @@ def train(cfg: Config, init_model: Optional[str] = None,
                                               seed=cfg.train.seed)
     del params
 
-    mesh = make_mesh(cfg.train.data_parallelism)
+    tp = cfg.train.tensor_parallelism
+    if tp > 1:
+        # Compiler-partitioned dp×tp (Megatron sharding rules, XLA-inserted
+        # collectives) — the beyond-reference scaling path for widths where
+        # replicated params stop fitting.
+        from segclip_tpu.parallel.gspmd import (make_dp_tp_mesh,
+                                                make_gspmd_train_step,
+                                                state_shardings)
+        n_data = cfg.train.data_parallelism
+        if n_data == -1:
+            n_data = jax.device_count() // tp
+        mesh = make_dp_tp_mesh(n_data, tp)
+        step_fn, place_state, _ = make_gspmd_train_step(
+            mesh, model, tx, state,
+            max_grad_norm=cfg.optim.max_grad_norm,
+            grad_accum_steps=cfg.train.grad_accum_steps,
+            trainable=trainable)
+        restore_sharding = state_shardings(state, mesh)
+        logger.info("mesh: dp%d × tp%d (GSPMD)", n_data, tp)
+    else:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        mesh = make_mesh(cfg.train.data_parallelism)
+        place_state = None
+        step_fn = make_sharded_train_step(
+            mesh, model, tx, max_grad_norm=cfg.optim.max_grad_norm,
+            grad_accum_steps=cfg.train.grad_accum_steps, trainable=trainable)
+        restore_sharding = NamedSharding(mesh, P())
 
     start_epoch = 0
+    resumed = False
     if resume:
         path = cfg.train.resume or auto_resume_path(cfg.train.output_dir)
         if path:
-            from jax.sharding import NamedSharding, PartitionSpec as P
             state, last_epoch = restore_checkpoint(
-                path, state, sharding=NamedSharding(mesh, P()))
+                path, state, sharding=restore_sharding)
             start_epoch = last_epoch + 1
+            resumed = True
             logger.info("resumed from %s → epoch %d", path, start_epoch)
-    step_fn = make_sharded_train_step(
-        mesh, model, tx, max_grad_norm=cfg.optim.max_grad_norm,
-        grad_accum_steps=cfg.train.grad_accum_steps, trainable=trainable)
+    if place_state is not None and not resumed:
+        state = place_state(state)     # restore already placed on the mesh
 
     ckpts = []
     try:
@@ -157,19 +187,18 @@ def _run_epochs(cfg, epochs, loader, step_fn, state, model, mesh,
         # multi_gpu_test + broadcast_object_list (main_seg_zeroshot.py:160).
         # Non-zero hosts block at the broadcast barrier meanwhile.
         if eval_fn is not None and cfg.train.eval_each_epoch:
+            eval_params = state.params
+            if n_hosts > 1:
+                # Params live on the multi-process global mesh and are not
+                # usable from a single-process jit. fetch_replicated
+                # all-gathers TP-sharded leaves and hands every host a
+                # host-local numpy copy — a COLLECTIVE, so it runs on all
+                # hosts, before the host-0 gate.
+                from segclip_tpu.parallel.gspmd import fetch_replicated
+                eval_params = fetch_replicated(state.params, mesh)
             miou = float("nan")
             if host == 0:
                 try:
-                    eval_params = state.params
-                    if n_hosts > 1:
-                        # Params live on the multi-process global mesh and
-                        # are not usable from a single-process jit. They are
-                        # fully replicated, so host 0's first addressable
-                        # shard IS the full value — fetch host-local copies
-                        # for the local-device segmenter.
-                        eval_params = jax.tree.map(
-                            lambda x: np.asarray(
-                                x.addressable_shards[0].data), state.params)
                     miou = float(eval_fn(model, eval_params))
                 except Exception as e:       # eval must not kill training
                     logger.warning("per-epoch eval failed: %s", e)
