@@ -49,6 +49,10 @@ def ensure_corpus(n_images: int) -> str:
     from segclip_tpu.data.records import SgrWriter
     from segclip_tpu.data.superpixel import encode_seg_map, felzenszwalb
     os.makedirs(CORPUS_DIR, exist_ok=True)
+    import glob as _glob
+    for old in _glob.glob(os.path.join(CORPUS_DIR, "ok_*")):
+        os.remove(old)        # the shared files are about to be rewritten —
+        # a stale marker for another count must not validate them later
     rng = np.random.default_rng(7)
     words = ("photo of a dog cat tree car house boat sky sea grass road "
              "bird person table light city hill snow leaf sand").split()

@@ -44,6 +44,11 @@ def main(argv=None):
                     default="auto",
                     help="batch images across the device mesh (auto: when "
                          ">1 device/process is available)")
+    ap.add_argument("--images-per-device", type=int, default=1,
+                    help=">1 batches several same-shape-bucket images per "
+                         "device (+50%% img/s measured at 4 on one v5e; "
+                         "borderline pixels may flip within bf16 rounding "
+                         "— bit-identical at f32)")
     ap.add_argument("--dist-coordinator", default=None, metavar="HOST:PORT")
     ap.add_argument("--dist-num-processes", type=int, default=None)
     ap.add_argument("--dist-process-id", type=int, default=None)
@@ -75,13 +80,15 @@ def main(argv=None):
     logger.info("evaluating %d images", len(dataset))
 
     import jax
-    use_sharded = (args.sharded == "on"
+    use_sharded = (args.sharded == "on" or args.images_per_device > 1
                    or (args.sharded == "auto"
                        and (jax.local_device_count() > 1
                             or jax.process_count() > 1)))
     if use_sharded:
         from segclip_tpu.evalseg.inference import evaluate_dataset_sharded
-        results = evaluate_dataset_sharded(segmenter, dataset, logger=logger)
+        results = evaluate_dataset_sharded(
+            segmenter, dataset, logger=logger,
+            images_per_device=args.images_per_device)
     else:
         results = evaluate_dataset(segmenter, dataset, logger=logger)
     logger.info("mIoU=%.2f mAcc=%.2f aAcc=%.2f", results["mIoU"],

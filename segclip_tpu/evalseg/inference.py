@@ -369,7 +369,7 @@ def evaluate_dataset(segmenter: ZeroShotSegmenter, dataset,
 
 def evaluate_dataset_sharded(segmenter: ZeroShotSegmenter, dataset,
                              mesh=None, log_every: int = 50,
-                             logger=None) -> dict:
+                             logger=None, images_per_device: int = 1) -> dict:
     """Mesh-parallel zero-shot mIoU: images sharing a padded-shape bucket
     are batched over the mesh's `data` axis, one image per device — the
     multi-device equivalent of the reference's dataset sharding across GPUs
@@ -389,7 +389,11 @@ def evaluate_dataset_sharded(segmenter: ZeroShotSegmenter, dataset,
     if mesh is None:
         mesh = make_mesh(devices=jax.local_devices()) if n_proc > 1 \
             else make_mesh()
-    n_images = int(np.prod(list(mesh.shape.values())))
+    # images_per_device > 1 batches several same-bucket images through one
+    # vmapped program even on a single chip — amortizes per-dispatch latency
+    # (significant on tunneled backends) at the cost of proportional HBM.
+    n_images = int(np.prod(list(mesh.shape.values()))) * max(
+        1, images_per_device)
     if n_images == 1 and n_proc == 1:
         return evaluate_dataset(segmenter, dataset, log_every, logger)
 

@@ -92,6 +92,9 @@ def state_shardings(state, mesh: Mesh):
         opt_state=state.opt_state._replace(step=rep, mu=p_sh, nu=p_sh))
 
 
+_FETCH_JIT: dict = {}        # mesh → jitted replicating identity
+
+
 def fetch_replicated(tree: Any, mesh: Mesh) -> Any:
     """Host-local numpy copies of a (possibly TP-sharded) global tree.
 
@@ -99,11 +102,18 @@ def fetch_replicated(tree: Any, mesh: Mesh) -> Any:
     sharded leaves; each host then reads its first addressable shard, which
     for a replicated array IS the full value. Under multi-host meshes this
     is a collective program — EVERY process must call it (gate any
-    host-0-only consumer after, not before)."""
-    rep = NamedSharding(mesh, P())
+    host-0-only consumer after, not before).
 
-    gathered = jax.jit(lambda t: t,
-                       out_shardings=jax.tree.map(lambda _: rep, tree))(tree)
+    The jitted identity is cached per mesh (a fresh lambda would retrace on
+    every per-epoch call). Note the gather transiently materializes a full
+    replica on every device — fine at ViT scale; gather leaf-by-leaf if a
+    future model's replicated params no longer fit."""
+    fn = _FETCH_JIT.get(mesh)
+    if fn is None:
+        rep = NamedSharding(mesh, P())
+        fn = jax.jit(lambda t: t, out_shardings=rep)
+        _FETCH_JIT[mesh] = fn
+    gathered = fn(tree)
     return jax.tree.map(lambda x: np.asarray(x.addressable_shards[0].data),
                         gathered)
 

@@ -84,6 +84,10 @@ def train(cfg: Config, init_model: Optional[str] = None,
     del params
 
     tp = cfg.train.tensor_parallelism
+    if tp > 1 and (tp > jax.device_count() or jax.device_count() % tp):
+        raise ValueError(
+            f"train.tensor_parallelism={tp} must divide the device count "
+            f"({jax.device_count()})")
     if tp > 1:
         # Compiler-partitioned dp×tp (Megatron sharding rules, XLA-inserted
         # collectives) — the beyond-reference scaling path for widths where
@@ -129,7 +133,8 @@ def train(cfg: Config, init_model: Optional[str] = None,
         result = _run_epochs(
             cfg, range(start_epoch, cfg.train.epochs), loader, step_fn,
             state, model, mesh, steps_per_epoch, t_total, n_hosts, host,
-            eval_fn, logger, metrics_writer, ckpts)
+            eval_fn, logger, metrics_writer, ckpts,
+            eval_fetch=(n_hosts > 1 or tp > 1))
     finally:
         # always tear the decode worker pool down — a step failure or
         # KeyboardInterrupt must not leak spawned processes when train()
@@ -142,7 +147,7 @@ def train(cfg: Config, init_model: Optional[str] = None,
 
 def _run_epochs(cfg, epochs, loader, step_fn, state, model, mesh,
                 steps_per_epoch, t_total, n_hosts, host, eval_fn, logger,
-                metrics_writer, ckpts) -> dict:
+                metrics_writer, ckpts, eval_fetch: bool = False) -> dict:
     final_loss = float("nan")
     for epoch in epochs:
         t_start = time.time()
@@ -188,12 +193,14 @@ def _run_epochs(cfg, epochs, loader, step_fn, state, model, mesh,
         # Non-zero hosts block at the broadcast barrier meanwhile.
         if eval_fn is not None and cfg.train.eval_each_epoch:
             eval_params = state.params
-            if n_hosts > 1:
-                # Params live on the multi-process global mesh and are not
-                # usable from a single-process jit. fetch_replicated
-                # all-gathers TP-sharded leaves and hands every host a
-                # host-local numpy copy — a COLLECTIVE, so it runs on all
-                # hosts, before the host-0 gate.
+            if eval_fetch:
+                # Multi-host params are not usable from a single-process
+                # jit, and TP-sharded params are committed to the training
+                # mesh (which may cover fewer devices than eval's).
+                # fetch_replicated all-gathers sharded leaves and hands
+                # every host a host-local numpy copy — a COLLECTIVE under
+                # multi-host, so it runs on all hosts, before the host-0
+                # gate.
                 from segclip_tpu.parallel.gspmd import fetch_replicated
                 eval_params = fetch_replicated(state.params, mesh)
             miou = float("nan")

@@ -40,9 +40,9 @@ class TrainState(struct.PyTreeNode):
 def create_train_state(cfg: Config, params: Any, t_total: int,
                        seed: int = 0) -> Tuple[TrainState, Any, Any]:
     """Build (TrainState, optimizer transform, trainable-mask tree). The
-    mask also feeds the step's grad clipping: frozen params contribute no
-    gradient in the reference (requires_grad=False → clip_grad_norm_ never
-    sees them), so their JAX grads must be zeroed BEFORE the global norm."""
+    mask feeds the step's _loss_fn, which stop_gradients frozen leaves so
+    they contribute no gradient anywhere — including the global clip norm,
+    which the reference's requires_grad=False params never reach."""
     lr_tree, wd_tree = lr_wd_trees(params, cfg.optim)
     trainable = trainable_tree(params, cfg.optim,
                                first_stage_layer=cfg.model.first_stage_layer)
@@ -147,11 +147,9 @@ def train_step_fn(state: TrainState, batch: dict, model: SegCLIP, tx,
         losses = jax.lax.pmean(losses, axis_name)
         loss = losses["loss"]
 
-    if trainable is not None:
-        # Frozen params have no gradient in the reference (requires_grad
-        # False), so they must not contribute to the clip norm.
-        grads = jax.tree.map(
-            lambda g, t: g if t else jnp.zeros_like(g), grads, trainable)
+    # Frozen params have exactly-zero grads (the stop_gradient in _loss_fn —
+    # requires_grad=False equivalent), so the clip norm matches the
+    # reference, which never sees them.
     grads, grad_norm = global_norm_clip(grads, max_grad_norm)
 
     updates, new_opt_state = tx.update(grads, state.opt_state, state.params)

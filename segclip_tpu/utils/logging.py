@@ -36,9 +36,15 @@ def get_logger(output_dir: Optional[str] = None,
     if output_dir:
         os.makedirs(output_dir, exist_ok=True)
         path = os.path.abspath(os.path.join(output_dir, "log.txt"))
-        existing = {getattr(h, "baseFilename", None)
-                    for h in _LOGGER.handlers}
-        if path not in existing:
+        if path not in {getattr(h, "baseFilename", None)
+                        for h in _LOGGER.handlers}:
+            # one log file at a time: detach previous runs' file handlers
+            # so sequential in-process runs don't append to each other's
+            # log.txt (and FDs don't accumulate)
+            for h in [h for h in _LOGGER.handlers
+                      if isinstance(h, logging.FileHandler)]:
+                _LOGGER.removeHandler(h)
+                h.close()
             fh = logging.FileHandler(path)
             fh.setFormatter(_FMT)
             _LOGGER.addHandler(fh)
