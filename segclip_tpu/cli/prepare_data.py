@@ -4,6 +4,10 @@ Subcommands:
   pack        images + captions → <name>_images.sgr / <name>_captions.sgr
               (replaces write_coco_images.py / generate_lmdb_from_pickles.py:
               images resized so the short side is 224 and re-encoded JPEG)
+  pack-pickle migrate the reference's packed pickles (coco_train2014.pkl,
+              cc3m_*_desc.pkl, cc3m_val.pkl, tar-extraction parts) → SGR,
+              bytes verbatim — a lossless switchover path for existing
+              reference datasets (also subsumes combine_pickle.py)
   superpixels compute Felzenszwalb maps over an images shard →
               <name>_seg.sgr (replaces felzenszwalb_extraction_*.py;
               scale=224 sigma=0.9 min_size=224)
@@ -120,6 +124,56 @@ def cmd_pack(args):
             if n_ok % 1000 == 0:
                 logger.info("packed %d images", n_ok)
     logger.info("done: %d packed, %d missing → %s", n_ok, n_missing, out_img)
+
+
+def cmd_pack_pickle(args):
+    """Migrate the reference's packed pickle artifacts straight into SGR
+    shards, bytes verbatim (no decode/re-encode — the pickles already hold
+    resized JPEGs, write_coco_images.py:18-44):
+      coco_train2014.pkl / cc3m_val.pkl   dict key → JPEG bytes
+        (dataloader_coco_retrieval.py:68-71, dataloader_cc_retrieval.py:85-89)
+      cc3m_train_desc.pkl                 dict key → caption str
+        (dataloader_cc_retrieval.py:63-65)
+      tar-extraction intermediates        same dict-of-bytes pickles; pass
+        several --images-pkl to merge them (combine_pickle.py equivalent)
+    Keys present in both an images pickle and the caption source are packed
+    (the reference drops caption entries without an image the same way,
+    dataloader_coco_retrieval.py:87-88)."""
+    import pickle
+    logger = get_logger()
+    out_img = os.path.join(args.out_dir, f"{args.name}_images.sgr")
+    out_cap = os.path.join(args.out_dir, f"{args.name}_captions.sgr")
+
+    if args.captions_pkl:
+        with open(args.captions_pkl, "rb") as f:
+            raw = pickle.load(f)
+        captions = {k: (v if isinstance(v, list) else [str(v)])
+                    for k, v in raw.items()}
+    else:
+        captions = load_captions(args)
+
+    n_ok = n_skip = 0
+    seen = set()
+    with SgrWriter(out_img) as wi, SgrWriter(out_cap) as wc:
+        for pkl_path in args.images_pkl:
+            with open(pkl_path, "rb") as f:
+                img_data = pickle.load(f)
+            for key in sorted(img_data):
+                if key in seen:           # first pickle wins on dup keys
+                    continue
+                seen.add(key)
+                caps = captions.get(key)
+                if not caps:
+                    n_skip += 1
+                    continue
+                wi.add(key, bytes(img_data[key]))
+                wc.add(key, json.dumps(caps).encode())
+                n_ok += 1
+                if n_ok % 10000 == 0:
+                    logger.info("migrated %d images", n_ok)
+            del img_data
+    logger.info("done: %d migrated, %d without captions → %s",
+                n_ok, n_skip, out_img)
 
 
 def _pack_one_tar(task):
@@ -338,6 +392,20 @@ def main(argv=None):
     p.add_argument("--quality", type=int, default=90)
     add_workers(p)
     p.set_defaults(fn=cmd_pack)
+
+    p = sub.add_parser("pack-pickle")
+    p.add_argument("--name", required=True)
+    p.add_argument("--images-pkl", required=True, nargs="+",
+                   help="dict key→JPEG-bytes pickle(s) (coco_train2014.pkl, "
+                        "cc3m_val.pkl, tar-extraction parts — merged in "
+                        "order)")
+    p.add_argument("--captions-json", default=None)
+    p.add_argument("--karpathy-json", default=None)
+    p.add_argument("--karpathy-split", default=None)
+    p.add_argument("--captions-pkl", default=None,
+                   help="dict key→caption pickle (cc3m_train_desc.pkl)")
+    p.add_argument("--out-dir", required=True)
+    p.set_defaults(fn=cmd_pack_pickle)
 
     p = sub.add_parser("pack-tars")
     p.add_argument("--name", required=True)

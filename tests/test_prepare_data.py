@@ -117,3 +117,42 @@ def test_pack_tars_parallel_matches_serial_bytes(tmp_path):
     r = SgrReader(str(outs[0] / "g_images.sgr"))
     assert len(r) == 6
     assert not (outs[1] / ".g_tars_tmp").exists()
+
+
+def test_pack_pickle_migrates_reference_artifacts(tmp_path):
+    """pack-pickle: dict-of-JPEG-bytes pickles + caption pickle/json → SGR
+    shards with bytes verbatim (the reference's coco_train2014.pkl /
+    cc3m_train_desc.pkl layout; merge order = combine_pickle.py)."""
+    import pickle
+    rng = np.random.default_rng(4)
+
+    def jpeg(i):
+        import io as _io
+        from PIL import Image as _Image
+        buf = _io.BytesIO()
+        _Image.fromarray(rng.integers(0, 255, (32, 40, 3)).astype(
+            np.uint8)).save(buf, format="JPEG", quality=80 + i)
+        return buf.getvalue()
+
+    imgs1 = {"a.jpg": jpeg(0), "b.jpg": jpeg(1), "nocap.jpg": jpeg(2)}
+    imgs2 = {"c.jpg": jpeg(3), "a.jpg": b"dup-ignored"}
+    (tmp_path / "p1.pkl").write_bytes(pickle.dumps(imgs1))
+    (tmp_path / "p2.pkl").write_bytes(pickle.dumps(imgs2))
+    caps = {"a.jpg": "a cat", "b.jpg": ["two", "captions"], "c.jpg": "sea"}
+    (tmp_path / "desc.pkl").write_bytes(pickle.dumps(caps))
+
+    out = tmp_path / "out"
+    out.mkdir()
+    prepare_data.main([
+        "pack-pickle", "--name", "m", "--images-pkl",
+        str(tmp_path / "p1.pkl"), str(tmp_path / "p2.pkl"),
+        "--captions-pkl", str(tmp_path / "desc.pkl"),
+        "--out-dir", str(out)])
+
+    ri = SgrReader(str(out / "m_images.sgr"))
+    rc = SgrReader(str(out / "m_captions.sgr"))
+    assert len(ri) == 3                              # nocap dropped
+    assert ri.get(b"a.jpg") == imgs1["a.jpg"]        # bytes verbatim,
+    assert ri.get(b"c.jpg") == imgs2["c.jpg"]        # first pickle wins
+    assert json.loads(rc.get(b"a.jpg")) == ["a cat"]
+    assert json.loads(rc.get(b"b.jpg")) == ["two", "captions"]
