@@ -13,18 +13,21 @@ from __future__ import annotations
 import argparse
 import dataclasses
 
-from segclip_tpu.config import (Config, DataConfig, ModelConfig, OptimConfig,
+from segclip_tpu.config import (Config, DataConfig, OptimConfig,
                                 TrainConfig, apply_overrides)
 from segclip_tpu.utils.logging import get_logger
 
 
 def build_config(args) -> Config:
-    model = ModelConfig(
+    from segclip_tpu.config import model_config_for
+    model = model_config_for(
+        args.clip_arch,
         use_seglabel=args.use_seglabel,
         use_vision_mae_recon=args.use_vision_mae_recon,
         use_text_mae_recon=args.use_text_mae_recon,
         max_words=args.max_words,
-        first_stage_layer=args.first_stage_layer)
+        **({} if args.first_stage_layer is None
+           else {"first_stage_layer": args.first_stage_layer}))
     optim = OptimConfig(
         lr=args.lr, lower_lr=args.lower_lr,
         warmup_proportion=args.warmup_proportion,
@@ -58,7 +61,13 @@ def main(argv=None):
     ap.add_argument("--warmup-proportion", type=float, default=0.15)
     ap.add_argument("--weight-decay", type=float, default=0.05)
     ap.add_argument("--max-words", type=int, default=32)
-    ap.add_argument("--first-stage-layer", type=int, default=10)
+    ap.add_argument("--clip-arch", default="ViT-B/16",
+                    choices=["ViT-B/16", "ViT-B/32", "ViT-L/14"],
+                    help="CLIP backbone preset (the reference's "
+                         "pretrained_clip_name, modeling.py:38-41); "
+                         "ViT-L/14 splits 22/2")
+    ap.add_argument("--first-stage-layer", type=int, default=None,
+                    help="override the preset's two-stage split point")
     ap.add_argument("--freeze-layer-num", type=int, default=0)
     ap.add_argument("--freeze-text-layer-num", type=int, default=0)
     ap.add_argument("--use-seglabel", action="store_true")

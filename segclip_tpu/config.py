@@ -85,6 +85,27 @@ class ModelConfig:
         return self.grid_size * self.grid_size
 
 
+# The reference's pretrained_clip_name surface (modeling.py:38-41,
+# module_clip_util.py:16-25), ViT members only — SegCLIP's two-stage
+# resblocks surgery is ViT-specific. first_stage_layer keeps the final two
+# blocks for the group stage, matching the 10-of-12 default split.
+CLIP_ARCH_PRESETS = {
+    "ViT-B/16": {},
+    "ViT-B/32": dict(vision_patch_size=32),
+    "ViT-L/14": dict(vision_width=1024, vision_layers=24,
+                     vision_patch_size=14, first_stage_layer=22,
+                     transformer_width=768, embed_dim=768),
+}
+
+
+def model_config_for(arch: str, **overrides) -> "ModelConfig":
+    """ModelConfig preset for a CLIP architecture name, with overrides."""
+    if arch not in CLIP_ARCH_PRESETS:
+        raise KeyError(f"unknown CLIP arch {arch!r}; "
+                       f"choose from {sorted(CLIP_ARCH_PRESETS)}")
+    return ModelConfig(**{**CLIP_ARCH_PRESETS[arch], **overrides})
+
+
 @dataclass(frozen=True)
 class OptimConfig:
     """AdaptAdamW + schedule + param-group settings.

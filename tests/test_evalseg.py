@@ -247,6 +247,12 @@ def test_sharded_eval_matches_sequential(tiny):
     np.testing.assert_allclose(got["aAcc"], want["aAcc"], rtol=1e-6)
     np.testing.assert_allclose(got["IoU"], want["IoU"], rtol=1e-6)
 
+    # images_per_device batching (single-chip throughput mode) — identical
+    # at f32 (on TPU bf16, borderline argmax pixels may flip; docs/PERF.md)
+    got2 = evaluate_dataset_sharded(seg, ds, mesh=make_mesh(1),
+                                    images_per_device=4)
+    np.testing.assert_allclose(got2["IoU"], want["IoU"], rtol=1e-6)
+
 
 def test_keep_ratio_resize_matches_cv2_oracle():
     """Eval resize must use cv2 INTER_LINEAR (mmcv imrescale semantics —
