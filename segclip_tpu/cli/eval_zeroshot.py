@@ -69,6 +69,14 @@ def main(argv=None):
 
     model, params, cfg = load_model(args.init_model, cfg)
     spec = DATASET_SPECS[args.dataset]
+    # config snapshot (reference main_seg_zeroshot.py:318-321)
+    import dataclasses, os
+    with open(os.path.join(args.output_dir, "config.json"), "w") as f:
+        json.dump({"model": dataclasses.asdict(cfg),
+                   "dataset": args.dataset, "template": args.template,
+                   "bg_thresh": args.bg_thresh,
+                   "images_per_device": args.images_per_device,
+                   "sharded": args.sharded}, f, indent=2)
     logger.info("dataset=%s classes=%d bg_thresh=%.2f", spec.name,
                 len(spec.classes),
                 spec.bg_thresh if args.bg_thresh is None else args.bg_thresh)
