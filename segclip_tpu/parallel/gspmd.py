@@ -142,8 +142,14 @@ def make_gspmd_train_step(mesh: Mesh, model, tx, state,
     step = jax.jit(fn, in_shardings=(st_sh, batch_sharding),
                    donate_argnums=(0,))
 
+    # Placement via a jitted identity, not device_put: device_put rejects
+    # global shardings whose devices span other processes, while a jit over
+    # the global mesh accepts host-local (replicated-identical) numpy
+    # inputs on every process.
+    _place = jax.jit(lambda s: s, out_shardings=st_sh)
+
     def place_state(s):
-        return jax.tree.map(jax.device_put, s, st_sh)
+        return _place(s)
 
     def place_batch(b):
         if jax.process_count() == 1:

@@ -120,9 +120,32 @@ def main():
     assert np.allclose(local.state(), combined.state()), "meter reduction"
     reduced_miou = local.results()["mIoU"]
 
+    # --- GSPMD dp×tp across BOTH processes (train.tensor_parallelism) ----
+    # dp4×tp2 over the 8 global devices: Megatron-sharded params span the
+    # two processes; batches assemble via make_array_from_process_local_data
+    # and fetch_replicated all-gathers the TP shards back (the per-epoch
+    # eval path of train/loop.py under multi-host TP).
+    from segclip_tpu.parallel.gspmd import (fetch_replicated, make_dp_tp_mesh,
+                                            make_gspmd_train_step)
+    model_tp, params_tp = init_segclip(tiny, seed=0)
+    state_tp, tx_tp, trainable_tp = create_train_state(cfg, params_tp,
+                                                       t_total=50, seed=1)
+    mesh_tp = make_dp_tp_mesh(4, 2)
+    step_tp, place_state, place_batch = make_gspmd_train_step(
+        mesh_tp, model_tp, tx_tp, state_tp, trainable=trainable_tp)
+    state_tp = place_state(state_tp)
+    tp_losses = []
+    for _ in range(2):
+        state_tp, m_tp = step_tp(state_tp, place_batch(local_batch))
+        tp_losses.append(float(m_tp["loss"]))
+    fetched = fetch_replicated(state_tp.params, mesh_tp)
+    tp_param_sum = float(np.sum(np.abs(
+        fetched["clip"]["visual"]["proj"])))
+
     with open(out_json, "w") as f:
         json.dump({"process_id": process_id, "losses": losses,
                    "miou": miou, "reduced_miou": reduced_miou,
+                   "tp_losses": tp_losses, "tp_param_sum": tp_param_sum,
                    "process_count": jax.process_count()}, f)
 
 

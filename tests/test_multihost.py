@@ -102,3 +102,24 @@ def test_two_process_training_matches_single_process(tmp_path):
 
     # 2-process global mesh == 1-process 8-device mesh, same global batch
     np.testing.assert_allclose(results[0]["losses"], want, rtol=1e-5)
+
+    # --- GSPMD dp4×tp2 across the two processes --------------------------
+    # identical losses and identical all-gathered params on both hosts
+    np.testing.assert_allclose(results[0]["tp_losses"],
+                               results[1]["tp_losses"], rtol=1e-6)
+    assert results[0]["tp_param_sum"] == results[1]["tp_param_sum"]
+    # the dp×tp program is the single-device global program — compare the
+    # 2-step loss trajectory to a fresh single-device run (same seeds)
+    from segclip_tpu.train.step import make_single_device_train_step
+    import jax.numpy as jnp
+    model2, params2 = init_segclip(tiny, seed=0)
+    state2, tx2, trainable2 = create_train_state(cfg, params2, t_total=50,
+                                                 seed=1)
+    sd = make_single_device_train_step(model2, tx2, trainable=trainable2)
+    jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+    sd_losses = []
+    for _ in range(2):
+        state2, m2 = sd(state2, jbatch)
+        sd_losses.append(float(m2["loss"]))
+    np.testing.assert_allclose(results[0]["tp_losses"], sd_losses,
+                               rtol=1e-4)
