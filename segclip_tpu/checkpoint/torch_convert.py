@@ -53,6 +53,15 @@ def infer_model_config(sd: Mapping[str, np.ndarray],
     tower = re.compile(r"^visual\.transformer\.(resblocks|layers0|layers2)"
                        r"\.\d+\.attn\.in_proj_weight$")
     vision_layers = sum(1 for k in sd if tower.match(k))
+    # An already-split SegCLIP checkpoint carries its two-stage split point
+    # explicitly as the layers0.* block count (modeling.py:50-68 surgery) —
+    # infer it so a non-default split (e.g. a 22/2 ViT-L) loads without
+    # manual config. Pre-surgery OpenAI dicts (resblocks.*) keep the arg.
+    split = re.compile(r"^visual\.transformer\.layers0"
+                       r"\.\d+\.attn\.in_proj_weight$")
+    n_layers0 = sum(1 for k in sd if split.match(k))
+    if n_layers0:
+        first_stage_layer = n_layers0
     grid = round((sd["visual.positional_embedding"].shape[0] - 1) ** 0.5)
     kw = dict(
         image_resolution=vision_patch_size * grid,

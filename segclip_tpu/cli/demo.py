@@ -37,9 +37,11 @@ def _run_one(segmenter, spec, norm, show, stem, vis_modes, mode, output_dir,
     groups = [segmenter.group_map(norm)]
     for vis in vis_modes:
         out_file = os.path.join(output_dir, vis, f"{stem}.jpg")
-        save_visualization(vis, out_file, show, pred, spec.palette,
-                           spec.classes, spec.with_bg, group_maps=groups)
-        logger.info("wrote %s", out_file)
+        written = save_visualization(vis, out_file, show, pred, spec.palette,
+                                     spec.classes, spec.with_bg,
+                                     group_maps=groups)
+        for path in written:
+            logger.info("wrote %s", path)
     labels = sorted(int(l) for l in np.unique(pred))
     logger.info("%s predicted classes: %s", stem,
                 [spec.classes[l] for l in labels])

@@ -209,13 +209,13 @@ def _coerce(raw: str, typ: Any) -> Any:
                                                     str(typ))
     if name == "bool":
         return raw.lower() in ("1", "true", "yes", "on")
-    try:
-        if name == "int":
-            return int(raw)
-        if name == "float":
-            return float(raw)
-    except ValueError:
-        pass
+    # int/float fields fail FAST on malformed overrides — silently storing
+    # the raw string would surface as a confusing TypeError deep in
+    # training instead of at the CLI boundary
+    if name == "int":
+        return int(raw)
+    if name == "float":
+        return float(raw)
     if name.startswith("Tuple") or name.startswith("tuple"):
         parts = [p for p in raw.strip("()[] ").replace(" ", "").split(",")
                  if p]

@@ -184,15 +184,17 @@ class ZeroShotSegmenter:
         wf = w // self.patch * self.patch
         gh, gw = hf // self.patch, wf // self.patch
 
-        @jax.jit
-        def attn_fn(params, img):
-            vis = self.model.apply(
-                {"params": params}, img,
-                method=lambda m, im: m.encode_image(im, training=False))
-            return _upsample_attn(vis.mid["soft_attn"], gh, gw, h, w)
+        key = ("group_map", hf, wf, h, w)
+        if key not in self._jitted:
+            def attn_fn(params, img):
+                vis = self.model.apply(
+                    {"params": params}, img,
+                    method=lambda m, im: m.encode_image(im, training=False))
+                return _upsample_attn(vis.mid["soft_attn"], gh, gw, h, w)
 
-        attn = np.asarray(attn_fn(self.params,
-                                  jnp.asarray(image[None, :hf, :wf])))[0]
+            self._jitted[key] = jax.jit(attn_fn)
+        attn = np.asarray(self._jitted[key](
+            self.params, jnp.asarray(image[None, :hf, :wf])))[0]
         return attn.argmax(axis=-1).astype(np.int32)
 
     def _resize_argmax(self, c: int, h: int, w: int, oh: int, ow: int):

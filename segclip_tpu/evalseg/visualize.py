@@ -64,31 +64,39 @@ def save_visualization(mode: str, out_file: str, image: np.ndarray,
                        pred: np.ndarray, palette: np.ndarray,
                        class_names: Sequence[str], with_bg: bool,
                        group_maps: Optional[Sequence[np.ndarray]] = None
-                       ) -> None:
+                       ) -> list:
     """group_maps: list of (H, W) hard group-id maps (one per grouping
-    stage) for the *_group modes."""
+    stage) for the *_group modes. Returns the path(s) actually written —
+    'pred' saves a palettized PNG regardless of out_file's extension
+    (indexed-palette images can't be JPEG)."""
     os.makedirs(os.path.dirname(out_file) or ".", exist_ok=True)
 
     if mode == "input":
         Image.fromarray(image).save(out_file)
-    elif mode == "pred":
+        return [out_file]
+    if mode == "pred":
         out = Image.fromarray(pred.astype(np.uint8)).convert("P")
         out.putpalette(palette.astype(np.uint8).flatten())
-        out.save(os.path.splitext(out_file)[0] + ".png")
-    elif mode == "input_pred":
+        target = os.path.splitext(out_file)[0] + ".png"
+        out.save(target)
+        return [target]
+    if mode == "input_pred":
         Image.fromarray(blend(image, pred, palette, 0.8,
                               skip_label0=with_bg)).save(out_file)
-    elif mode == "input_pred_label":
+        return [out_file]
+    if mode == "input_pred_label":
         blended = blend(image, pred, palette, 0.6, skip_label0=with_bg)
         Image.fromarray(draw_labels(blended, pred, class_names,
                                     with_bg)).save(out_file)
-    elif mode in ("all_groups", "first_group", "final_group"):
+        return [out_file]
+    if mode in ("all_groups", "first_group", "final_group"):
         assert group_maps, "group modes need group_maps"
         indices = range(len(group_maps))
         if mode == "first_group":
             indices = [0]
         elif mode == "final_group":
             indices = [len(group_maps) - 1]
+        written = []
         for li in indices:
             gmap = group_maps[li]
             pal = group_palette(int(gmap.max()) + 1)
@@ -97,5 +105,6 @@ def save_visualization(mode: str, out_file: str, image: np.ndarray,
                 root, ext = os.path.splitext(out_file)
                 target = f"{root}_layer{li}{ext}"
             Image.fromarray(blend(image, gmap, pal, 0.6)).save(target)
-    else:
-        raise ValueError(f"unknown vis mode {mode!r}")
+            written.append(target)
+        return written
+    raise ValueError(f"unknown vis mode {mode!r}")

@@ -21,8 +21,12 @@ bitwise. Eval uses `fused_group_assign` (deterministic, no noise),
 bit-equal to the jnp path. Training defaults to jnp — the full-step A/B is
 a wash (docs/PERF.md) — select grouping_impl="pallas" to opt in.
 
-L and D are padded to lane multiples; padded patch columns are masked to
--inf before the softmax so they never win an assignment.
+L and D are padded to lane multiples. Masking scheme: padded GROUP rows
+are set to -1e30 before the softmax (they must never win a per-patch
+argmax); padded PATCH columns keep live logits through the softmax and
+are excluded afterwards — `valid` zeroes their hard/soft outputs and the
+`hard & valid` mask keeps them out of counts and aggregation. Do not
+reuse in-kernel softmax values for padded columns.
 
 Reference math: module_seg_vit.py:221-242 (gumbel_softmax) + 304-310
 (assign/aggregate).

@@ -149,6 +149,10 @@ def _run_epochs(cfg, epochs, loader, step_fn, state, model, mesh,
                 steps_per_epoch, t_total, n_hosts, host, eval_fn, logger,
                 metrics_writer, ckpts, eval_fetch: bool = False) -> dict:
     final_loss = float("nan")
+    # Track the global step host-side: fetching int(state.step) per step
+    # would force a device sync every iteration, serializing dispatch on
+    # tunneled backends. One sync here covers resume offsets.
+    gstep = int(state.step)
     for epoch in epochs:
         t_start = time.time()
         window_start = time.time()
@@ -157,8 +161,11 @@ def _run_epochs(cfg, epochs, loader, step_fn, state, model, mesh,
         for batch in prefetch_to_device(loader.epoch(epoch), mesh,
                                         depth=cfg.data.device_prefetch):
             state, metrics = step_fn(state, batch)
-            gstep = int(state.step)
-            if gstep % cfg.train.log_every == 0:
+            gstep += 1
+            # host 0 logs/writes (reference gates on local_rank 0,
+            # main_task_align.py:350-356) — other hosts never sync here,
+            # and a shared output_dir gets no duplicate/interleaved lines.
+            if host == 0 and gstep % cfg.train.log_every == 0:
                 loss = float(metrics["loss"])          # host fetch = sync
                 lr = float(scheduled_lr(
                     state.opt_state.step, cfg.optim.lr, t_total,
@@ -206,6 +213,11 @@ def _run_epochs(cfg, epochs, loader, step_fn, state, model, mesh,
             miou = float("nan")
             if host == 0:
                 try:
+                    if eval_fetch:
+                        # commit the fetched numpy tree to local devices
+                        # once — the segmenter jits otherwise re-upload the
+                        # full params on EVERY predict call
+                        eval_params = jax.device_put(eval_params)
                     miou = float(eval_fn(model, eval_params))
                 except Exception as e:       # eval must not kill training
                     logger.warning("per-epoch eval failed: %s", e)
@@ -216,7 +228,6 @@ def _run_epochs(cfg, epochs, loader, step_fn, state, model, mesh,
             if not np.isnan(miou):
                 logger.info("Epoch %d zero-shot mIoU: %.2f", epoch + 1, miou)
                 if host == 0:
-                    metrics_writer.write(int(state.step), epoch=epoch,
-                                         miou=miou)
+                    metrics_writer.write(gstep, epoch=epoch, miou=miou)
 
     return {"final_loss": final_loss, "state": state}

@@ -317,3 +317,17 @@ def test_variant_architecture_inference_and_conversion():
         ["semantic_center"])
     np.testing.assert_array_equal(
         center, sd["visual.transformer.semantic_layer2.semantic_center"])
+
+
+def test_infer_first_stage_layer_from_split_checkpoint():
+    """An already-split SegCLIP dict (layers0.*/layers2.*) carries its
+    two-stage split point as the layers0 block count — it must win over the
+    caller's default so a non-default split (e.g. 22/2 ViT-L) loads without
+    manual config; pre-surgery resblocks dicts keep the caller's value."""
+    sd = _synth_reference_state_dict(VARIANT)       # resblocks naming
+    pre = infer_model_config(sd, first_stage_layer=VARIANT.first_stage_layer)
+    assert pre.first_stage_layer == VARIANT.first_stage_layer
+    split = apply_layer_surgery(sd, VARIANT.first_stage_layer)
+    # caller passes the WRONG default (10): the checkpoint's 4/1 split wins
+    cfg = infer_model_config(split, first_stage_layer=10)
+    assert cfg.first_stage_layer == VARIANT.first_stage_layer
