@@ -101,6 +101,52 @@ def build_reference():
     return ref
 
 
+def load_ref_vitseg():
+    """Load the reference's ViTSegInference standalone (mmcv/mmseg stubbed
+    to the symbols vit_seg.py touches — mirrors test_reference_parity_eval)."""
+    import importlib.util
+    import torch
+
+    def stub(name, **attrs):
+        mod = sys.modules.get(name) or types.ModuleType(name)
+        for k, v in attrs.items():
+            setattr(mod, k, v)
+        sys.modules[name] = mod
+        return mod
+
+    class FakeConfig(dict):
+        def __getattr__(self, k):
+            return self[k]
+
+    stub("mmcv", Config=FakeConfig, imread=None, imwrite=None,
+         mkdir_or_exist=lambda *a: None, bgr2rgb=None, rgb2bgr=None)
+
+    class FakeEncoderDecoder(torch.nn.Module):
+        align_corners = False
+
+    mmseg = stub("mmseg")
+    mmseg.__path__ = []
+    stub("mmseg.models", EncoderDecoder=FakeEncoderDecoder)
+
+    pkg = types.ModuleType("refseg")
+    pkg.__path__ = []
+    sys.modules["refseg"] = pkg
+    evalpkg = types.ModuleType("refseg.evaluation")
+    evalpkg.__path__ = []
+    sys.modules["refseg.evaluation"] = evalpkg
+    logmod = types.ModuleType("refseg.logger")
+    logmod.get_logger = lambda *a, **k: logging.getLogger("golden")
+    sys.modules["refseg.logger"] = logmod
+
+    spec = importlib.util.spec_from_file_location(
+        "refseg.evaluation.vit_seg",
+        os.path.join(REFERENCE, "seg_segmentation/evaluation/vit_seg.py"))
+    ref_vs = importlib.util.module_from_spec(spec)
+    sys.modules["refseg.evaluation.vit_seg"] = ref_vs
+    spec.loader.exec_module(ref_vs)
+    return ref_vs
+
+
 def golden_inputs():
     rng = np.random.default_rng(11)
     img = rng.normal(size=(B, RES, RES, 3)).astype(np.float32)
@@ -170,6 +216,27 @@ def main():
                    image_seg=torch.from_numpy(
                        inp["seg"].reshape(B, 1, GRID, GRID)))
     pack["out/total_loss"] = np.float64(loss)
+
+    # zero-shot decode (ViTSegInference whole-mode: soft-attn upsample,
+    # group/text affinity, top-5 gate, bg threshold — vit_seg.py:202-256)
+    ref_vs = load_ref_vitseg()
+    rng = np.random.default_rng(21)
+    n_classes = 6
+    bank = rng.normal(size=(n_classes, 32)).astype(np.float32)
+    bank /= np.linalg.norm(bank, axis=-1, keepdims=True)
+    holder = torch.nn.Module()
+    holder.clip = ref.clip
+    ref.eval()
+    seg_ref = ref_vs.ViTSegInference(
+        holder, torch.from_numpy(bank), with_bg=True,
+        test_cfg=dict(mode="whole", bg_thresh=0.8))
+    seg_ref.eval()
+    with torch.no_grad():
+        decode = seg_ref.encode_decode(
+            torch.from_numpy(inp["img"][:1].transpose(0, 3, 1, 2)),
+            None)[0].numpy()
+    pack["in/text_bank"] = bank
+    pack["out/decode_logits"] = decode
 
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     np.savez_compressed(OUT, **pack)

@@ -119,3 +119,21 @@ def test_golden_training_loss(golden):
             rngs={"gumbel": jax.random.key(0), "mae": jax.random.key(1)})
     np.testing.assert_allclose(float(losses["loss"]),
                                float(out["total_loss"]), rtol=2e-4)
+
+
+def test_golden_zero_shot_decode(golden):
+    """Recorded ViTSegInference whole-mode decode (soft-attn upsample,
+    group/text affinity, top-5 gate, bg threshold — vit_seg.py:202-256)
+    replayed torch-free; identical argmax map."""
+    import jax.numpy as jnp
+    from segclip_tpu.evalseg.inference import ZeroShotSegmenter
+    model, params, cfg, inp, out = golden
+    if "decode_logits" not in out:
+        pytest.skip("fixture pack predates the decode recording")
+    seg = ZeroShotSegmenter(model, params, jnp.asarray(inp["text_bank"]),
+                            with_bg=True, bg_thresh=0.8, patch_size=PATCH,
+                            crop_size=RES, stride=RES)
+    logits = seg.whole(inp["img"][0])
+    np.testing.assert_allclose(logits, out["decode_logits"], atol=2e-4)
+    np.testing.assert_array_equal(logits.argmax(0),
+                                  out["decode_logits"].argmax(0))
