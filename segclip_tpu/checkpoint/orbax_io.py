@@ -25,11 +25,14 @@ def save_checkpoint(output_dir: str, epoch: int, state: Any,
     """Save TrainState under <output_dir>/ckpt_epoch_<epoch>."""
     path = os.path.join(_abs(output_dir), f"ckpt_epoch_{epoch}")
     ckptr = ocp.StandardCheckpointer()
+    # epoch is a host scalar — keep it numpy: a host-local jax.Array can't
+    # be serialized from a multi-host process (orbax rejects it), while
+    # numpy leaves are written by the primary host.
     payload = {"params": state.params, "opt_state_mu": state.opt_state.mu,
                "opt_state_nu": state.opt_state.nu,
                "opt_step": state.opt_state.step,
                "step": state.step,
-               "epoch": jax.numpy.asarray(epoch, np.int32)}
+               "epoch": np.asarray(epoch, np.int32)}
     ckptr.save(path, payload, force=True)
     ckptr.wait_until_finished()
     if max_kept > 0:
@@ -80,21 +83,23 @@ def restore_checkpoint(path: str, state: Any,
                 "opt_state_nu": state.opt_state.nu,
                 "opt_step": state.opt_state.step,
                 "step": state.step,
-                "epoch": jax.numpy.asarray(0, np.int32)}
+                "epoch": np.asarray(0, np.int32)}
     if sharding is not None:
         if isinstance(sharding, jax.sharding.Sharding):
             sh_tree = jax.tree.map(lambda _: sharding, template)
         else:                       # TrainState-shaped pytree of shardings
-            rep = sharding.step
             sh_tree = {"params": sharding.params,
                        "opt_state_mu": sharding.opt_state.mu,
                        "opt_state_nu": sharding.opt_state.nu,
                        "opt_step": sharding.opt_state.step,
-                       "step": sharding.step, "epoch": rep}
-        template = jax.tree.map(
-            lambda x, s: jax.ShapeDtypeStruct(jax.numpy.shape(x),
-                                              x.dtype, sharding=s),
-            template, sh_tree)
+                       "step": sharding.step, "epoch": sharding.step}
+        # epoch stays a numpy leaf (saved as such); shard only jax arrays
+        template = {
+            k: (v if k == "epoch" else jax.tree.map(
+                lambda x, s: jax.ShapeDtypeStruct(
+                    jax.numpy.shape(x), x.dtype, sharding=s),
+                v, sh_tree[k]))
+            for k, v in template.items()}
     restored = ckptr.restore(_abs(path), template)
     new_state = state.replace(
         step=restored["step"], params=restored["params"],

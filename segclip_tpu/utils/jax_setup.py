@@ -51,6 +51,16 @@ def setup_jax(cache_dir: str | None = None,
     (first compiles of the big train/eval graphs take minutes on tunneled
     backends; the cache makes every later process start warm)."""
     import jax
+    platform = os.environ.get("SEGCLIP_PLATFORM")
+    if platform:
+        # this image's sitecustomize force-registers the tunneled TPU and
+        # rewrites JAX_PLATFORMS, so a config update before first jax use
+        # is the only reliable way to force a backend (CPU for tests /
+        # multi-process simulation, debugging without the chip)
+        try:
+            jax.config.update("jax_platforms", platform)
+        except RuntimeError:
+            pass                      # backend already initialized
     maybe_initialize_distributed(coordinator, num_processes, process_id)
     cache = cache_dir or os.environ.get("SEGCLIP_JAX_CACHE",
                                         "/tmp/segclip_jax_cache")

@@ -123,3 +123,51 @@ def test_two_process_training_matches_single_process(tmp_path):
         sd_losses.append(float(m2["loss"]))
     np.testing.assert_allclose(results[0]["tp_losses"], sd_losses,
                                rtol=1e-4)
+
+
+TINY_CLI_OPTS = [
+    "model.vision_width=64", "model.vision_layers=4",
+    "model.first_stage_layer=3", "model.group_num=4", "model.cross_layer=1",
+    "model.transformer_width=64", "model.transformer_layers=2",
+    "model.embed_dim=32", "model.context_length=16", "model.vocab_size=512",
+    "model.max_words=12", "model.mae_decoder_depth=1",
+    "model.mae_decoder_num_heads=2", "model.compute_dtype=float32",
+    "data.max_words=12", "train.eval_each_epoch=false",
+]
+
+
+def test_two_process_cli_train(tmp_path):
+    """The advertised multi-host launch end-to-end through the REAL train
+    CLI: two processes × 4 CPU devices join via --dist-* flags, train one
+    tiny synthetic epoch over the global mesh, save the checkpoint as a
+    collective, and only host 0 writes log/metrics (shared output_dir)."""
+    port = _free_port()
+    out = tmp_path / "run"
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env["SEGCLIP_PLATFORM"] = "cpu"
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+        env.pop("JAX_PLATFORMS", None)
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "segclip_tpu.cli.train",
+             "--datatype", "synthetic", "--batch-size", "64",
+             "--epochs", "1", "--n-display", "2",
+             "--output-dir", str(out),
+             "--dist-coordinator", f"localhost:{port}",
+             "--dist-num-processes", "2", "--dist-process-id", str(pid),
+             "--opts"] + TINY_CLI_OPTS,
+            cwd=REPO, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
+    logs = []
+    for p in procs:
+        stdout, _ = p.communicate(timeout=540)
+        logs.append(stdout.decode(errors="replace"))
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"cli worker failed:\n{log[-4000:]}"
+
+    assert (out / "ckpt_epoch_0").exists()
+    # host-0-only writes: each metrics step appears exactly once
+    lines = [json.loads(l) for l in (out / "metrics.jsonl").open()]
+    steps = [l["step"] for l in lines]
+    assert len(steps) == len(set(steps)) > 0, steps
