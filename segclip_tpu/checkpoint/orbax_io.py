@@ -86,14 +86,16 @@ def restore_checkpoint(path: str, state: Any,
                 "epoch": np.asarray(0, np.int32)}
     if sharding is not None:
         if isinstance(sharding, jax.sharding.Sharding):
-            sh_tree = jax.tree.map(lambda _: sharding, template)
+            sh_tree = {k: jax.tree.map(lambda _: sharding, v)
+                       for k, v in template.items() if k != "epoch"}
         else:                       # TrainState-shaped pytree of shardings
             sh_tree = {"params": sharding.params,
                        "opt_state_mu": sharding.opt_state.mu,
                        "opt_state_nu": sharding.opt_state.nu,
                        "opt_step": sharding.opt_state.step,
-                       "step": sharding.step, "epoch": sharding.step}
-        # epoch stays a numpy leaf (saved as such); shard only jax arrays
+                       "step": sharding.step}
+        # epoch is (and restores as) a concrete numpy leaf — only the jax
+        # array entries get sharded restore templates
         template = {
             k: (v if k == "epoch" else jax.tree.map(
                 lambda x, s: jax.ShapeDtypeStruct(

@@ -62,21 +62,24 @@ def main(argv=None):
               num_processes=args.dist_num_processes,
               process_id=args.dist_process_id)
 
-    logger = get_logger(args.output_dir)
+    import jax
+    logger = get_logger(args.output_dir if jax.process_index() == 0
+                        else None)
     cfg = ModelConfig()
     for item in args.opts:
         cfg = apply_overrides(cfg, [item])
 
     model, params, cfg = load_model(args.init_model, cfg)
     spec = DATASET_SPECS[args.dataset]
-    # config snapshot (reference main_seg_zeroshot.py:318-321)
+    # config snapshot (reference main_seg_zeroshot.py:318-321), host 0 only
     import dataclasses, os
-    with open(os.path.join(args.output_dir, "config.json"), "w") as f:
-        json.dump({"model": dataclasses.asdict(cfg),
-                   "dataset": args.dataset, "template": args.template,
-                   "bg_thresh": args.bg_thresh,
-                   "images_per_device": args.images_per_device,
-                   "sharded": args.sharded}, f, indent=2)
+    if jax.process_index() == 0:
+        with open(os.path.join(args.output_dir, "config.json"), "w") as f:
+            json.dump({"model": dataclasses.asdict(cfg),
+                       "dataset": args.dataset, "template": args.template,
+                       "bg_thresh": args.bg_thresh,
+                       "images_per_device": args.images_per_device,
+                       "sharded": args.sharded}, f, indent=2)
     logger.info("dataset=%s classes=%d bg_thresh=%.2f", spec.name,
                 len(spec.classes),
                 spec.bg_thresh if args.bg_thresh is None else args.bg_thresh)

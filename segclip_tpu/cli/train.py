@@ -104,7 +104,9 @@ def main(argv=None):
               process_id=args.dist_process_id)
 
     cfg = build_config(args)
-    logger = get_logger(cfg.train.output_dir)
+    import jax
+    logger = get_logger(cfg.train.output_dir
+                        if jax.process_index() == 0 else None)
     logger.info("config: %s", dataclasses.asdict(cfg))
 
     eval_fn = None

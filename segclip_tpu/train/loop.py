@@ -37,7 +37,10 @@ def train(cfg: Config, init_model: Optional[str] = None,
     cfg.train.eval_each_epoch (injected to avoid a circular import with
     evalseg; cli/train.py wires the VOC evaluator in).
     """
-    logger = get_logger(cfg.train.output_dir)
+    # log.txt is host-0-only (each host still logs to its own stderr) — a
+    # shared output_dir must not get interleaved lines from every host
+    logger = get_logger(cfg.train.output_dir
+                        if jax.process_index() == 0 else None)
     metrics_writer = MetricWriter(cfg.train.output_dir)
 
     # Pipeline ships uint8 images; the train step normalizes on device.

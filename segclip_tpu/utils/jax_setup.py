@@ -56,12 +56,17 @@ def setup_jax(cache_dir: str | None = None,
         # this image's sitecustomize force-registers the tunneled TPU and
         # rewrites JAX_PLATFORMS, so a config update before first jax use
         # is the only reliable way to force a backend (CPU for tests /
-        # multi-process simulation, debugging without the chip)
-        try:
-            jax.config.update("jax_platforms", platform)
-        except RuntimeError:
-            pass                      # backend already initialized
+        # multi-process simulation, debugging without the chip). After a
+        # backend is initialized the update is a silent no-op — verified
+        # below, because silently grabbing the TPU when the caller asked
+        # for CPU is the worst failure mode.
+        jax.config.update("jax_platforms", platform)
     maybe_initialize_distributed(coordinator, num_processes, process_id)
+    if platform and jax.default_backend() != platform:
+        raise RuntimeError(
+            f"SEGCLIP_PLATFORM={platform!r} had no effect — the "
+            f"{jax.default_backend()!r} backend was already initialized "
+            f"before setup_jax() ran (set the env before ANY jax use)")
     cache = cache_dir or os.environ.get("SEGCLIP_JAX_CACHE",
                                         "/tmp/segclip_jax_cache")
     os.makedirs(cache, exist_ok=True)

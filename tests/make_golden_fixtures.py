@@ -102,49 +102,11 @@ def build_reference():
 
 
 def load_ref_vitseg():
-    """Load the reference's ViTSegInference standalone (mmcv/mmseg stubbed
-    to the symbols vit_seg.py touches — mirrors test_reference_parity_eval)."""
-    import importlib.util
-    import torch
-
-    def stub(name, **attrs):
-        mod = sys.modules.get(name) or types.ModuleType(name)
-        for k, v in attrs.items():
-            setattr(mod, k, v)
-        sys.modules[name] = mod
-        return mod
-
-    class FakeConfig(dict):
-        def __getattr__(self, k):
-            return self[k]
-
-    stub("mmcv", Config=FakeConfig, imread=None, imwrite=None,
-         mkdir_or_exist=lambda *a: None, bgr2rgb=None, rgb2bgr=None)
-
-    class FakeEncoderDecoder(torch.nn.Module):
-        align_corners = False
-
-    mmseg = stub("mmseg")
-    mmseg.__path__ = []
-    stub("mmseg.models", EncoderDecoder=FakeEncoderDecoder)
-
-    pkg = types.ModuleType("refseg")
-    pkg.__path__ = []
-    sys.modules["refseg"] = pkg
-    evalpkg = types.ModuleType("refseg.evaluation")
-    evalpkg.__path__ = []
-    sys.modules["refseg.evaluation"] = evalpkg
-    logmod = types.ModuleType("refseg.logger")
-    logmod.get_logger = lambda *a, **k: logging.getLogger("golden")
-    sys.modules["refseg.logger"] = logmod
-
-    spec = importlib.util.spec_from_file_location(
-        "refseg.evaluation.vit_seg",
-        os.path.join(REFERENCE, "seg_segmentation/evaluation/vit_seg.py"))
-    ref_vs = importlib.util.module_from_spec(spec)
-    sys.modules["refseg.evaluation.vit_seg"] = ref_vs
-    spec.loader.exec_module(ref_vs)
-    return ref_vs
+    """The parity tests' exact ViTSegInference shim — shared so fixtures
+    are generated under the same stubs the tests assume."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_reference_parity_eval import load_reference_vitseg
+    return load_reference_vitseg()
 
 
 def golden_inputs():

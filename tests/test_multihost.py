@@ -28,6 +28,22 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+def _communicate_all(procs, timeout=540):
+    """communicate() with kill-on-timeout: a hung distributed worker must
+    not outlive its test holding the coordinator port / the host's core."""
+    logs = []
+    try:
+        for p in procs:
+            stdout, _ = p.communicate(timeout=timeout)
+            logs.append(stdout.decode(errors="replace"))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
+    return logs
+
+
 def test_two_process_training_matches_single_process(tmp_path):
     port = _free_port()
     env = dict(os.environ)
@@ -41,10 +57,7 @@ def test_two_process_training_matches_single_process(tmp_path):
             [sys.executable, WORKER, str(pid), str(port), str(out)],
             cwd=REPO, env=env,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
-    logs = []
-    for p in procs:
-        stdout, _ = p.communicate(timeout=540)
-        logs.append(stdout.decode(errors="replace"))
+    logs = _communicate_all(procs)
     for p, log in zip(procs, logs):
         assert p.returncode == 0, f"worker failed:\n{log[-4000:]}"
 
@@ -126,6 +139,7 @@ def test_two_process_training_matches_single_process(tmp_path):
 
 
 TINY_CLI_OPTS = [
+    "model.image_resolution=32", "model.vision_patch_size=8",
     "model.vision_width=64", "model.vision_layers=4",
     "model.first_stage_layer=3", "model.group_num=4", "model.cross_layer=1",
     "model.transformer_width=64", "model.transformer_layers=2",
@@ -159,10 +173,7 @@ def test_two_process_cli_train(tmp_path):
              "--opts"] + TINY_CLI_OPTS,
             cwd=REPO, env=env,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
-    logs = []
-    for p in procs:
-        stdout, _ = p.communicate(timeout=540)
-        logs.append(stdout.decode(errors="replace"))
+    logs = _communicate_all(procs)
     for p, log in zip(procs, logs):
         assert p.returncode == 0, f"cli worker failed:\n{log[-4000:]}"
 
@@ -171,3 +182,7 @@ def test_two_process_cli_train(tmp_path):
     lines = [json.loads(l) for l in (out / "metrics.jsonl").open()]
     steps = [l["step"] for l in lines]
     assert len(steps) == len(set(steps)) > 0, steps
+    # log.txt likewise has one writer: every per-step line appears once
+    step_lines = [ln for ln in (out / "log.txt").open()
+                  if " Step " in ln]
+    assert len(step_lines) == len(set(step_lines)) > 0, step_lines

@@ -20,8 +20,11 @@ pytestmark = pytest.mark.skipif(not os.path.isdir(REFERENCE),
                                 reason="reference repo not mounted")
 
 
-@pytest.fixture(scope="module")
-def ref_vitseg():
+def load_reference_vitseg():
+    """Load the reference's ViTSegInference standalone with mmcv/mmseg
+    stubbed to the symbols vit_seg.py touches. Shared with
+    make_golden_fixtures.py so the fixture pack is generated under the
+    exact shims the parity tests assume."""
     if not hasattr(np, "float"):
         np.float = float
     import torch
@@ -87,6 +90,11 @@ def ref_vitseg():
 
     ref_sv.CrossAttentionBlock.forward = cross_forward
     return ref_vs
+
+
+@pytest.fixture(scope="module")
+def ref_vitseg():
+    return load_reference_vitseg()
 
 
 def test_encode_decode_parity(ref_vitseg):
