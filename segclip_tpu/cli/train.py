@@ -123,12 +123,16 @@ def main(argv=None):
                                   template_set=cfg.eval.template_set)
             ds = SegEvalDataset(spec, args.eval_data_root)
             # loop.py calls eval_fn on host 0 only, so the sharded path is
-            # single-process here: batch over host 0's local devices.
-            if jax.process_count() == 1 and jax.local_device_count() > 1:
+            # single-process here: batch over host 0's local devices
+            # (and/or several images per device, eval.images_per_device).
+            if jax.process_count() == 1 and (
+                    jax.local_device_count() > 1
+                    or cfg.eval.images_per_device > 1):
                 from segclip_tpu.evalseg.inference import \
                     evaluate_dataset_sharded
-                return evaluate_dataset_sharded(seg, ds,
-                                                logger=logger)["mIoU"]
+                return evaluate_dataset_sharded(
+                    seg, ds, logger=logger,
+                    images_per_device=cfg.eval.images_per_device)["mIoU"]
             return evaluate_dataset(seg, ds, logger=logger)["mIoU"]
 
     from segclip_tpu.train.loop import train

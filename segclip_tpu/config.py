@@ -180,6 +180,9 @@ class EvalConfig:
     the standalone eval CLI exposes overrides via flags."""
     dataset: str = "voc"
     template_set: str = "simple"
+    # >1 batches same-bucket images per device during the per-epoch eval
+    # (+50% img/s at 4 on one v5e; bf16 borderline pixels may flip)
+    images_per_device: int = 1
 
 
 @dataclass(frozen=True)
