@@ -43,7 +43,15 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
 def infer_model_config(sd: Mapping[str, np.ndarray],
                        first_stage_layer: int = 10,
                        **overrides) -> ModelConfig:
-    """Infer architecture hyperparameters from checkpoint tensor shapes."""
+    """Infer architecture hyperparameters from checkpoint tensor shapes.
+
+    Precedence for the two-stage split point: an already-split SegCLIP
+    checkpoint encodes it as the `layers0.*` block count, which WINS over
+    the `first_stage_layer` argument (the checkpoint is the ground truth —
+    a disagreeing caller value is logged and ignored); `**overrides` (e.g.
+    an explicit `first_stage_layer=` keyword) win over both. Pre-surgery
+    OpenAI dicts (`resblocks.*`) have no encoded split and use the argument.
+    """
     sd = strip_prefix(sd)
     vision_width = sd["visual.conv1.weight"].shape[0]
     vision_patch_size = sd["visual.conv1.weight"].shape[-1]
@@ -61,6 +69,13 @@ def infer_model_config(sd: Mapping[str, np.ndarray],
                        r"\.\d+\.attn\.in_proj_weight$")
     n_layers0 = sum(1 for k in sd if split.match(k))
     if n_layers0:
+        if first_stage_layer != 10 and first_stage_layer != n_layers0:
+            from segclip_tpu.utils.logging import get_logger
+            get_logger().warning(
+                "first_stage_layer=%d disagrees with the checkpoint's "
+                "layers0 block count (%d); using the checkpoint's split "
+                "(pass first_stage_layer via **overrides to force)",
+                first_stage_layer, n_layers0)
         first_stage_layer = n_layers0
     grid = round((sd["visual.positional_embedding"].shape[0] - 1) ** 0.5)
     kw = dict(

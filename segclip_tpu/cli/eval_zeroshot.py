@@ -57,6 +57,11 @@ def main(argv=None):
                     help="model config overrides key=value")
     args = ap.parse_args(argv)
 
+    if args.sharded == "off" and args.images_per_device > 1:
+        raise SystemExit(
+            "--images-per-device > 1 requires the sharded eval path; "
+            "drop --sharded off (or use --images-per-device 1)")
+
     from segclip_tpu.utils.jax_setup import setup_jax
     setup_jax(coordinator=args.dist_coordinator,
               num_processes=args.dist_num_processes,
@@ -90,7 +95,6 @@ def main(argv=None):
     dataset = SegEvalDataset(spec, args.data_root, limit=args.limit)
     logger.info("evaluating %d images", len(dataset))
 
-    import jax
     use_sharded = (args.sharded == "on" or args.images_per_device > 1
                    or (args.sharded == "auto"
                        and (jax.local_device_count() > 1

@@ -431,14 +431,17 @@ class BatchLoader:
                     status, ep, step, payload = self._result_q.get(
                         timeout=5.0)
                 except queue.Empty:
-                    dead = [p.pid for p in self._procs if not p.is_alive()]
+                    # snapshot once — a worker dying between two scans would
+                    # make separate pid/exitcode comprehensions inconsistent
+                    dead = [(p.pid, p.exitcode) for p in self._procs
+                            if not p.is_alive()]
                     if dead:
                         raise RuntimeError(
-                            f"data worker process(es) {dead} died "
-                            f"(exit codes "
-                            f"{[p.exitcode for p in self._procs if not p.is_alive()]}) "
-                            f"— likely OOM-killed or crashed in native "
-                            f"decode") from None
+                            f"data worker process(es) "
+                            f"{[pid for pid, _ in dead]} died (exit codes "
+                            f"{[code for _, code in dead]}) — likely "
+                            f"OOM-killed or crashed in native decode"
+                        ) from None
                     continue
                 if ep != epoch:
                     continue             # stale result from a torn-down run
