@@ -370,6 +370,22 @@ def cmd_coco_gt(args):
     logger.info("converted %d masks → %s", len(files), out_dir)
 
 
+def cmd_shapes(args):
+    """Generate the procedural captioned-shapes corpus (data/procgen.py):
+    a learnable-from-scratch pretraining corpus + VOC-layout eval split
+    with exact GT masks, for proving the full pipeline learns."""
+    from segclip_tpu.data.procgen import write_eval_split, write_train_corpus
+    logger = get_logger()
+    write_train_corpus(args.out_dir, args.train_n, seed=args.seed,
+                       superpixels=not args.no_superpixels)
+    logger.info("train corpus: %d scenes → %s/shapes_*.sgr",
+                args.train_n, args.out_dir)
+    eval_dir = os.path.join(args.out_dir, "eval")
+    write_eval_split(eval_dir, args.eval_n)
+    logger.info("eval split: %d scenes → %s (VOC layout, --dataset shapes)",
+                args.eval_n, eval_dir)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -427,6 +443,14 @@ def main(argv=None):
                    help="records per resumable chunk")
     add_workers(p)
     p.set_defaults(fn=cmd_superpixels)
+
+    p = sub.add_parser("shapes")
+    p.add_argument("--out-dir", required=True)
+    p.add_argument("--train-n", type=int, default=20000)
+    p.add_argument("--eval-n", type=int, default=200)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--no-superpixels", action="store_true")
+    p.set_defaults(fn=cmd_shapes)
 
     p = sub.add_parser("coco-gt")
     p.add_argument("--coco-path", required=True,

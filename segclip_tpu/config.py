@@ -154,6 +154,13 @@ class DataConfig:
     # cv2-based JPEG decode (pixel-identical; faster only on hosts where
     # libjpeg-turbo-backed cv2 beats PIL — measured slower here)
     fast_decode: bool = False
+    # Run the bicubic crop-resize on device inside the jitted step
+    # (ops/device_aug.py): the host ships the decoded image padded into a
+    # fixed (S, 2S) canvas + crop window and keeps only JPEG decode +
+    # coordinate sampling + the superpixel patch-reduction. Cuts host CPU
+    # ~0.8 ms/sample; costs ~1.5× host→device bytes — the right default
+    # depends on the host's core count vs link bandwidth (docs/PERF.md).
+    device_aug: bool = False
 
 
 @dataclass(frozen=True)

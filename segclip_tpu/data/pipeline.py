@@ -79,9 +79,11 @@ class PairRecordDataset:
                  tokenizer: Optional[ClipTokenizer] = None,
                  fast_decode: bool = False,
                  crop_scale: Tuple[float, float] = (0.5, 1.0),
-                 normalize: bool = True):
+                 normalize: bool = True,
+                 device_aug: bool = False):
         self.fast_decode = fast_decode
         self.normalize = normalize
+        self.device_aug = device_aug
         self.crop_scale = tuple(crop_scale)
         self.name = name
         self.images = SgrReader(os.path.join(data_dir, f"{name}_images.sgr"))
@@ -119,28 +121,77 @@ class PairRecordDataset:
         jpeg = self.images.get(key)
         img = _decode_jpeg(jpeg, self.fast_decode)
 
-        arr, coord = random_resized_crop_coord(img, self.image_size, rng,
-                                               scale=self.crop_scale)
         from segclip_tpu.data.tokenizer import tokenize_with_mask
         ids, mask = tokenize_with_mask(self.tokenizer, caption,
                                        self.max_words)
-        # NB: the crop coord stays internal (superpixel cropping below) —
-        # shipping it in the batch would change the step's input pytree vs
-        # synthetic batches and trigger a spurious recompile.
-        out = {
-            "input_ids": ids,
-            "attention_mask": mask,
-            # normalize=False ships uint8; the train step normalizes on
-            # device (4× smaller IPC + PCIe/tunnel transfer).
-            "image": clip_normalize(arr) if self.normalize else arr,
-        }
 
+        if self.device_aug:
+            out = self._sample_device_aug(img, rng)
+            coord = out.pop("_coord")
+        else:
+            arr, coord = random_resized_crop_coord(img, self.image_size, rng,
+                                                   scale=self.crop_scale)
+            # NB: the crop coord stays internal (superpixel cropping below)
+            # — shipping it in the batch would change the step's input
+            # pytree vs synthetic batches and trigger a spurious recompile.
+            out = {
+                # normalize=False ships uint8; the train step normalizes on
+                # device (4× smaller IPC + PCIe/tunnel transfer).
+                "image": clip_normalize(arr) if self.normalize else arr,
+            }
+
+        out["input_ids"] = ids
+        out["attention_mask"] = mask
         if self.seg is not None:
+            # superpixel crop + patch int-mean stays on host in BOTH modes:
+            # it costs ~0.2 ms/sample, while shipping the full uint16 map
+            # for a device reduction costs ~150 KB/sample of host→device
+            # traffic (docs/PERF.md "On-device augmentation").
             seg_full = decode_seg_map(self.seg.get(key))
             out["image_seg"] = crop_seg_from_cache(
                 seg_full, coord, self.image_size,
                 self.patch_size).astype(np.int32)
         return out
+
+    def _sample_device_aug(self, img: Image.Image,
+                           rng: np.random.Generator) -> Dict:
+        """Device-augmentation schema: ship the decoded image padded into a
+        fixed (S, 2S, 3) canvas plus the crop window; the jitted train step
+        runs the bicubic crop-resize on the MXU (ops/device_aug.py). Tall
+        images are transposed into the canvas (exact for separable
+        resampling); crop windows are sampled with the IDENTICAL rng
+        sequence as the host-resize path, so both modes see the same crops.
+
+        Fallback pre-shrinks (rare; never triggered by `prepare_data
+        pack`-packed data): short side > S, or aspect ratio > 2.
+        """
+        from segclip_tpu.data.transforms import sample_crop_window
+        S = self.image_size
+        wmax = 2 * S
+        w0, h0 = img.size
+        short, long = min(w0, h0), max(w0, h0)
+        if short > S or long > min(2 * short, wmax):
+            s = min(S / short, wmax / long, 1.0)
+            img = img.resize((max(1, round(w0 * s)), max(1, round(h0 * s))),
+                             Image.BICUBIC)
+        if img.mode != "RGB":
+            img = img.convert("RGB")
+        width, height = img.size
+        i, j, h, w, coord = sample_crop_window(width, height, rng,
+                                               scale=self.crop_scale)
+        arr = np.asarray(img)
+        transposed = height > width
+        if transposed:
+            arr = np.ascontiguousarray(arr.transpose(1, 0, 2))
+            i, j, h, w = j, i, w, h
+        canvas = np.zeros((S, wmax, 3), np.uint8)
+        canvas[:arr.shape[0], :arr.shape[1]] = arr
+        return {
+            "image": canvas,
+            "image_window": np.array([j, i, w, h], np.int32),
+            "image_transposed": np.uint8(transposed),
+            "_coord": coord,
+        }
 
 
 class SyntheticDataset:
@@ -230,7 +281,8 @@ def build_dataset(cfg: DataConfig, use_seg: bool = True,
                                            patch_size=patch_size,
                                            fast_decode=cfg.fast_decode,
                                            crop_scale=cfg.crop_scale,
-                                           normalize=normalize))
+                                           normalize=normalize,
+                                           device_aug=cfg.device_aug))
     if not parts:
         raise ValueError(f"no datasets in datatype={cfg.datatype!r}")
     return parts[0] if len(parts) == 1 else ConcatDataset(parts)

@@ -1,0 +1,248 @@
+"""Procedural captioned-shapes corpus: the framework's learnability proof.
+
+The reference's de-facto integration test is zero-shot VOC mIoU evaluated
+during/after pretraining (main_seg_zeroshot.py:121-167, called per-epoch
+from training at main_task_align.py:367-369).  That requires real CC3M/COCO
+data plus a pretrained CLIP init — neither exists in this environment (no
+network egress).  This module generates a corpus with the same *structure*
+that is learnable FROM SCRATCH:
+
+  - composite scenes: 1-3 colored geometric shapes (circle, square,
+    triangle, star, cross, heart) on smooth gradient backgrounds;
+  - captions naming each shape with its color ("a photo of a red circle
+    and a blue star.") — the contrastive task is to align shape/color
+    words with image regions;
+  - exact ground-truth segmentation masks (class = shape type) written in
+    the VOC directory layout, so the UNCHANGED zero-shot eval harness
+    (evalseg/) measures mIoU against them with a class-name text bank.
+
+Colors and shapes are sampled independently, so class-name grounding cannot
+shortcut through color statistics.  Train-side superpixels come from the
+real Felzenszwalb path (data/superpixel.py) — the full production pipeline
+(pack → superpixels → BatchLoader → 4-loss step → per-epoch zero-shot eval)
+runs end-to-end on this corpus; pretraining must drive mIoU far above both
+the random-init value and chance for the system to be certified learning.
+"""
+from __future__ import annotations
+
+import io
+import json
+import math
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+from PIL import Image, ImageDraw
+
+# class 0 is background (the eval spec's with_bg convention)
+SHAPE_CLASSES = ("circle", "square", "triangle", "star", "cross", "heart")
+
+COLORS = {
+    "red": (200, 40, 40),
+    "green": (50, 160, 60),
+    "blue": (50, 80, 200),
+    "yellow": (220, 200, 40),
+    "purple": (140, 60, 170),
+    "orange": (230, 130, 30),
+    "cyan": (60, 190, 200),
+    "pink": (235, 140, 180),
+}
+
+# Backgrounds stay muted/desaturated so shape colors pop but never match.
+_BG_COLORS = [(120, 120, 120), (160, 150, 140), (90, 100, 110),
+              (170, 170, 160), (130, 140, 120), (100, 90, 100),
+              (200, 195, 185), (70, 75, 80)]
+
+CAPTION_TEMPLATES = (
+    "a photo of {}.",
+    "an image of {}.",
+    "{} on a plain background.",
+    "a picture showing {}.",
+)
+
+
+def _shape_polygon(kind: str, cx: float, cy: float, r: float,
+                   angle: float) -> List[Tuple[float, float]]:
+    """Vertex list for the polygon shapes, rotated by `angle`."""
+    def rot(pts):
+        ca, sa = math.cos(angle), math.sin(angle)
+        return [(cx + x * ca - y * sa, cy + x * sa + y * ca) for x, y in pts]
+
+    if kind == "square":
+        return rot([(-r, -r), (r, -r), (r, r), (-r, r)])
+    if kind == "triangle":
+        return rot([(r * math.cos(a), r * math.sin(a))
+                    for a in (math.radians(90), math.radians(210),
+                              math.radians(330))])
+    if kind == "star":
+        pts = []
+        for i in range(10):
+            rr = r if i % 2 == 0 else 0.45 * r
+            a = math.pi / 2 + i * math.pi / 5
+            pts.append((rr * math.cos(a), rr * math.sin(a)))
+        return rot(pts)
+    if kind == "cross":
+        t = 0.38 * r
+        return rot([(-t, -r), (t, -r), (t, -t), (r, -t), (r, t), (t, t),
+                    (t, r), (-t, r), (-t, t), (-r, t), (-r, -t), (-t, -t)])
+    if kind == "heart":
+        # parametric heart, scaled to radius r
+        pts = []
+        for i in range(40):
+            t = 2 * math.pi * i / 40
+            x = 16 * math.sin(t) ** 3
+            y = -(13 * math.cos(t) - 5 * math.cos(2 * t)
+                  - 2 * math.cos(3 * t) - math.cos(4 * t))
+            pts.append((x * r / 17.0, y * r / 17.0))
+        return rot(pts)
+    raise KeyError(kind)
+
+
+def _draw_shape(draw: ImageDraw.ImageDraw, mask: ImageDraw.ImageDraw,
+                kind: str, cx: float, cy: float, r: float, angle: float,
+                color: Tuple[int, int, int], class_id: int) -> None:
+    if kind == "circle":
+        box = (cx - r, cy - r, cx + r, cy + r)
+        draw.ellipse(box, fill=color)
+        mask.ellipse(box, fill=class_id)
+    else:
+        poly = _shape_polygon(kind, cx, cy, r, angle)
+        draw.polygon(poly, fill=color)
+        mask.polygon(poly, fill=class_id)
+
+
+def _background(rng: np.random.Generator, w: int, h: int) -> np.ndarray:
+    """Two-color gradient + low-frequency noise, uint8 (h, w, 3)."""
+    c0 = np.array(_BG_COLORS[rng.integers(len(_BG_COLORS))], np.float32)
+    c1 = np.array(_BG_COLORS[rng.integers(len(_BG_COLORS))], np.float32)
+    if rng.random() < 0.5:
+        t = np.linspace(0, 1, h, dtype=np.float32)[:, None, None]
+    else:
+        t = np.linspace(0, 1, w, dtype=np.float32)[None, :, None]
+    grad = c0 * (1 - t) + c1 * t
+    small = rng.normal(0, 12, (6, 6, 3)).astype(np.float32)
+    noise = np.asarray(Image.fromarray(
+        np.clip(small + 128, 0, 255).astype(np.uint8)
+    ).resize((w, h), Image.BICUBIC), np.float32) - 128.0
+    return np.clip(grad + noise, 0, 255).astype(np.uint8)
+
+
+def generate_scene(
+    rng: np.random.Generator, size: Tuple[int, int] = (224, 224),
+    max_shapes: int = 3,
+) -> Tuple[np.ndarray, np.ndarray, str]:
+    """One composite scene → (image uint8 (h,w,3), mask int32 (h,w), caption).
+
+    Mask values: 0 background, 1 + SHAPE_CLASSES.index(kind) per shape.
+    """
+    w, h = size
+    img = Image.fromarray(_background(rng, w, h))
+    mask = Image.new("L", (w, h), 0)
+    draw, mdraw = ImageDraw.Draw(img), ImageDraw.Draw(mask)
+
+    n = int(rng.integers(1, max_shapes + 1))
+    placed: List[Tuple[float, float, float]] = []
+    parts: List[str] = []
+    for _ in range(n):
+        kind = SHAPE_CLASSES[rng.integers(len(SHAPE_CLASSES))]
+        color_name = list(COLORS)[rng.integers(len(COLORS))]
+        base = np.array(COLORS[color_name], np.int32)
+        jitter = rng.integers(-18, 19, size=3)
+        color = tuple(int(c) for c in np.clip(base + jitter, 0, 255))
+
+        r_min, r_max = 0.12 * min(w, h), 0.24 * min(w, h)
+        for _attempt in range(12):
+            r = float(rng.uniform(r_min, r_max))
+            cx = float(rng.uniform(r + 2, w - r - 2))
+            cy = float(rng.uniform(r + 2, h - r - 2))
+            if all((cx - px) ** 2 + (cy - py) ** 2 > (r + pr) ** 2
+                   for px, py, pr in placed):
+                break
+        else:
+            continue                      # couldn't place without overlap
+        placed.append((cx, cy, r))
+        angle = float(rng.uniform(0, 2 * math.pi))
+        _draw_shape(draw, mdraw, kind, cx, cy, r, angle, color,
+                    1 + SHAPE_CLASSES.index(kind))
+        parts.append(f"a {color_name} {kind}")
+
+    if not parts:                         # degenerate: empty scene
+        return generate_scene(rng, size, max_shapes)
+
+    if len(parts) == 1:
+        desc = parts[0]
+    else:
+        desc = ", ".join(parts[:-1]) + " and " + parts[-1]
+    template = CAPTION_TEMPLATES[rng.integers(len(CAPTION_TEMPLATES))]
+    return np.asarray(img), np.asarray(mask, np.int32), template.format(desc)
+
+
+def write_train_corpus(out_dir: str, n_images: int, name: str = "shapes",
+                       seed: int = 0, quality: int = 90,
+                       min_side: int = 224, max_side: int = 288,
+                       log_every: int = 2000,
+                       superpixels: bool = True) -> str:
+    """Pack a training corpus: <name>_{images,captions,seg}.sgr.
+
+    Superpixels come from the REAL Felzenszwalb path (scale=224 sigma=0.9
+    min_size=224 — the reference's extraction settings), not from the GT
+    masks: training consumes exactly what production preprocessing
+    produces.
+    """
+    from segclip_tpu.data.records import SgrWriter
+    from segclip_tpu.data.superpixel import encode_seg_map, felzenszwalb
+    from segclip_tpu.utils.logging import get_logger
+    logger = get_logger()
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    wi = SgrWriter(os.path.join(out_dir, f"{name}_images.sgr"))
+    wc = SgrWriter(os.path.join(out_dir, f"{name}_captions.sgr"))
+    ws = SgrWriter(os.path.join(out_dir, f"{name}_seg.sgr")) \
+        if superpixels else None
+    for i in range(n_images):
+        w = int(rng.integers(min_side, max_side + 1))
+        h = int(rng.integers(min_side, max_side + 1))
+        img, _, caption = generate_scene(rng, (w, h))
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, format="JPEG", quality=quality)
+        key = f"s{i:06d}"
+        wi.add(key, buf.getvalue())
+        wc.add(key, json.dumps([caption]).encode())
+        if ws is not None:
+            labels = felzenszwalb(img, scale=224.0, sigma=0.9, min_size=224)
+            ws.add(key, encode_seg_map(labels))
+        if (i + 1) % log_every == 0:
+            logger.info("procgen train corpus: %d/%d", i + 1, n_images)
+    wi.close()
+    wc.close()
+    if ws is not None:
+        ws.close()
+    return out_dir
+
+
+def write_eval_split(out_dir: str, n_images: int, seed: int = 10_000,
+                     min_side: int = 224, max_side: int = 288) -> str:
+    """VOC-layout eval split readable by the unchanged SegEvalDataset:
+    JPEGImages/*.jpg + SegmentationClass/*.png (pixel value = class id) +
+    ImageSets/Segmentation/val.txt.  Uses a disjoint seed range from the
+    train corpus."""
+    img_dir = os.path.join(out_dir, "JPEGImages")
+    ann_dir = os.path.join(out_dir, "SegmentationClass")
+    split_dir = os.path.join(out_dir, "ImageSets", "Segmentation")
+    for d in (img_dir, ann_dir, split_dir):
+        os.makedirs(d, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    names = []
+    for i in range(n_images):
+        w = int(rng.integers(min_side, max_side + 1))
+        h = int(rng.integers(min_side, max_side + 1))
+        img, mask, _ = generate_scene(rng, (w, h))
+        name = f"e{i:05d}"
+        Image.fromarray(img).save(os.path.join(img_dir, name + ".jpg"),
+                                  quality=95)
+        Image.fromarray(mask.astype(np.uint8)).save(
+            os.path.join(ann_dir, name + ".png"))
+        names.append(name)
+    with open(os.path.join(split_dir, "val.txt"), "w") as f:
+        f.write("\n".join(names) + "\n")
+    return out_dir

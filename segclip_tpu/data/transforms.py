@@ -27,15 +27,19 @@ def clip_normalize(arr: np.ndarray) -> np.ndarray:
     return (arr.astype(np.float32) / 255.0 - CLIP_MEAN) / CLIP_STD
 
 
-def random_resized_crop_coord(
-    img: Image.Image, size: int, rng: np.random.Generator,
+def sample_crop_window(
+    width: int, height: int, rng: np.random.Generator,
     scale: Tuple[float, float] = (0.5, 1.0),
     ratio: Tuple[float, float] = (3 / 4, 4 / 3),
-) -> Tuple[np.ndarray, np.ndarray]:
-    """Returns (uint8 RGB (size, size, 3), coord float32 (4,))."""
-    width, height = img.size
-    area = float(width * height)
+) -> Tuple[int, int, int, int, np.ndarray]:
+    """Draw a RandomResizedCrop window: (i, j, h, w, coord).
 
+    Identical rng draw sequence to the historical inline version, so the
+    host-resize and device-resize pipelines sample the SAME windows for
+    the same (seed, epoch, shard, position) stream. coord is the
+    reference's normalized (W−1)/(H−1) form (rawimage_util.py:355-359).
+    """
+    area = float(width * height)
     i = j = h = w = None
     for _ in range(10):
         target_area = rng.uniform(*scale) * area
@@ -67,6 +71,17 @@ def random_resized_crop_coord(
         coord = np.array([j / (width - 1), i / (height - 1),
                           (j + w - 1) / (width - 1),
                           (i + h - 1) / (height - 1)], np.float32)
+    return i, j, h, w, coord
+
+
+def random_resized_crop_coord(
+    img: Image.Image, size: int, rng: np.random.Generator,
+    scale: Tuple[float, float] = (0.5, 1.0),
+    ratio: Tuple[float, float] = (3 / 4, 4 / 3),
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Returns (uint8 RGB (size, size, 3), coord float32 (4,))."""
+    width, height = img.size
+    i, j, h, w, coord = sample_crop_window(width, height, rng, scale, ratio)
     # crop() THEN resize (not resize(box=...), whose bicubic kernel reads
     # pixels outside the box — not torchvision resized_crop semantics).
     if img.mode != "RGB":

@@ -92,9 +92,19 @@ class SegDatasetSpec:
         return voc_colormap(len(self.classes))
 
 
+#: Procedural captioned-shapes corpus (data/procgen.py) — the from-scratch
+#: learnability proof. VOC directory layout; class ids are written raw into
+#: the PNG so the unchanged loader reads them directly.
+SHAPES_CLASSES = ('background', 'circle', 'square', 'triangle', 'star',
+                  'cross', 'heart')
+
 DATASET_SPECS = {
     'voc': SegDatasetSpec(
         name='voc', classes=VOC_CLASSES, bg_thresh=0.80,
+        img_dir='JPEGImages', ann_dir='SegmentationClass',
+        split='ImageSets/Segmentation/val.txt'),
+    'shapes': SegDatasetSpec(
+        name='shapes', classes=SHAPES_CLASSES, bg_thresh=0.50,
         img_dir='JPEGImages', ann_dir='SegmentationClass',
         split='ImageSets/Segmentation/val.txt'),
     'context': SegDatasetSpec(

@@ -61,14 +61,24 @@ def create_train_state(cfg: Config, params: Any, t_total: int,
     return state, tx, trainable
 
 
-def _normalize_images(batch: dict) -> dict:
+def _normalize_images(batch: dict, model: Optional[SegCLIP] = None) -> dict:
     """uint8 batches (shipped by the data pipeline to quarter IPC and
     host→device transfer) are CLIP-normalized on device; float batches are
-    assumed pre-normalized. jit specializes on dtype so this is a static
-    branch."""
+    assumed pre-normalized. Device-augmentation batches (image_window
+    present — data/pipeline.py device_aug mode) additionally run the
+    bicubic crop-resize on the MXU first (ops/device_aug.py). jit
+    specializes on the batch pytree so these are static branches."""
+    from segclip_tpu.data.transforms import CLIP_MEAN, CLIP_STD
+    if "image_window" in batch:
+        from segclip_tpu.ops.device_aug import crop_resize_batch
+        batch = dict(batch)
+        img = crop_resize_batch(batch["image"], batch.pop("image_window"),
+                                batch.pop("image_transposed"),
+                                model.cfg.image_resolution) / 255.0
+        batch["image"] = (img - jnp.asarray(CLIP_MEAN)) / jnp.asarray(CLIP_STD)
+        return batch
     if batch["image"].dtype != jnp.uint8:
         return batch
-    from segclip_tpu.data.transforms import CLIP_MEAN, CLIP_STD
     batch = dict(batch)
     img = batch["image"].astype(jnp.float32) / 255.0
     batch["image"] = (img - jnp.asarray(CLIP_MEAN)) / jnp.asarray(CLIP_STD)
@@ -102,7 +112,7 @@ def train_step_fn(state: TrainState, batch: dict, model: SegCLIP, tx,
     when axis_name is None). With grad_accum_steps > 1 the per-shard batch is
     split into micro-batches scanned sequentially, gradients averaged before
     the update (reference main_task_align.py:315-341 semantics)."""
-    batch = _normalize_images(batch)
+    batch = _normalize_images(batch, model)
     step_rng = jax.random.fold_in(state.rng, state.step)
     if axis_name is not None:
         # decorrelate Gumbel/MAE noise across shards
