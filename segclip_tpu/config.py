@@ -51,8 +51,13 @@ class ModelConfig:
     # Numerics
     compute_dtype: str = "bfloat16"   # matmul/activation dtype under jit
     param_dtype: str = "float32"      # parameter storage dtype
-    # Attention: "xla" only (a Pallas flash kernel was slower at these
-    # sequence lengths and was removed — docs/PERF.md).
+    # Attention implementation:
+    #   "xla"         fused XLA softmax(qk)v (default);
+    #   "pallas_vmem" layout-preserving VMEM kernel (ops/pallas/attention):
+    #                 no head transposes, score matrix never leaves VMEM in
+    #                 the forward; measured A/B in docs/PERF.md.
+    # (A STREAMING flash kernel was measured 0.47-0.72x XLA at SegCLIP's
+    # sequence lengths in rounds 1-2 and removed — docs/PERF.md.)
     attention_impl: str = "xla"
     # Grouping: "auto" uses the fused Pallas kernel on TPU for the
     # deterministic EVAL path only (training defaults to the jnp path — the

@@ -99,11 +99,43 @@ def multi_head_attention(params: dict, q_in: jax.Array, kv_in: jax.Array,
         kv = kv_in @ wqkv[:, d:] + bqkv[d:]
         k, v = jnp.split(kv, 2, axis=-1)
 
-    q = _split_heads(q, num_heads)
-    k = _split_heads(k, num_heads)
-    v = _split_heads(v, num_heads)
-
-    o = _merge_heads(sdpa(q, k, v, bias=bias, impl=impl))
+    if impl == "pallas_vmem":
+        o = _sdpa_pallas_vmem(q, k, v, num_heads, bias)
+    else:
+        o = _merge_heads(sdpa(_split_heads(q, num_heads),
+                              _split_heads(k, num_heads),
+                              _split_heads(v, num_heads),
+                              bias=bias, impl=impl))
     wout = params["out"]["kernel"].astype(compute_dtype)
     bout = params["out"]["bias"].astype(compute_dtype)
     return o @ wout + bout
+
+
+def _sdpa_pallas_vmem(q: jax.Array, k: jax.Array, v: jax.Array,
+                      num_heads: int,
+                      bias: Optional[jax.Array]) -> jax.Array:
+    """Fused VMEM attention in the natural (B, L, H·D) layout — no head
+    transpose anywhere (ops/pallas/attention.py). Accepts the same bias
+    forms as sdpa: None, a (Lq, Lk) causal mask, or a (B, 1, 1, Lk)
+    padding bias. Falls back to the XLA path when head_dim ≠ 64 (the MAE
+    decoders' 32/48-dim heads — TPU lane tiling wants 128-wide head-pair
+    panels)."""
+    d = q.shape[-1]
+    hd = d // num_heads
+    if hd != 64 or num_heads % 2:
+        return _merge_heads(sdpa(_split_heads(q, num_heads),
+                                 _split_heads(k, num_heads),
+                                 _split_heads(v, num_heads),
+                                 bias=bias, impl="xla"))
+    from segclip_tpu.ops.pallas.attention import attention_vmem
+    bias2d = biasb = None
+    if bias is not None:
+        if bias.ndim == 2:
+            bias2d = bias
+        elif bias.ndim == 4 and bias.shape[1] == 1 and bias.shape[2] == 1:
+            biasb = bias[:, 0, 0, :]
+        else:
+            raise ValueError(f"unsupported bias shape {bias.shape} "
+                             f"for pallas_vmem attention")
+    interpret = jax.default_backend() != "tpu"
+    return attention_vmem(q, k, v, bias2d, biasb, hd ** -0.5, interpret)
