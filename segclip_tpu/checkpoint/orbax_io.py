@@ -121,5 +121,18 @@ def save_params(output_dir: str, name: str, params: Any) -> str:
 
 
 def restore_params(path: str, params_template: Any) -> Any:
+    """Restore model weights from either a save_params directory OR a full
+    training checkpoint (save_checkpoint's {params, opt_state_*, ...}) —
+    evaluating a mid-training ckpt_epoch_N directly is the reference's
+    `--init_model pytorch_model.bin.N` workflow (main_task_align.py:160)."""
     ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(_abs(path), {"params": params_template})["params"]
+    template = {"params": params_template}
+    try:
+        return ckptr.restore(_abs(path), template)["params"]
+    except BaseException:
+        with ocp.PyTreeCheckpointer() as ptc:
+            restored = ptc.restore(
+                _abs(path),
+                args=ocp.args.PyTreeRestore(item=template,
+                                            partial_restore=True))
+        return restored["params"]

@@ -193,7 +193,9 @@ def test_two_process_cli_train_records_workers_eval(tmp_path):
              "--opts"] + tiny,
             cwd=REPO, env=env,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
-    logs = _communicate_all(procs)
+    # decode workers + records + eval make this the heaviest CLI test;
+    # measured 8:51 on a loaded 1-core host → 15 min bound
+    logs = _communicate_all(procs, timeout=900)
     for p, log in zip(procs, logs):
         assert p.returncode == 0, f"records cli worker failed:\n{log[-4000:]}"
 
