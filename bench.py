@@ -181,10 +181,16 @@ def main():
     corpus_images = max(512, -(-batch * 22 // CORPUS_CAPS_PER_IMAGE))
     corpus = ensure_corpus(corpus_images)
 
-    def e2e_run(device_aug: bool, epoch: int) -> float:
+    from segclip_tpu.data.pipeline import _load_one
+    from segclip_tpu.parallel.mesh import PackedSpec
+
+    def e2e_run(epoch: int, device_aug: bool = False,
+                transfer: str = "rgb") -> float:
+        """One timed epoch through the production path: BatchLoader →
+        PackedSpec single-buffer transfer → packed sharded step."""
         ds = PairRecordDataset("bench", corpus, max_words=cfg_m.max_words,
                                use_seg=True, normalize=False,
-                               device_aug=device_aug)
+                               device_aug=device_aug, transfer=transfer)
         sampler = ShardedEpochSampler(len(ds), global_batch=batch)
         factory = None
         if num_workers > 0:
@@ -192,18 +198,25 @@ def main():
             dcfg = DataConfig(datatype="bench", data_dir=corpus,
                               max_words=cfg_m.max_words,
                               num_workers=num_workers,
-                              device_aug=device_aug)
+                              device_aug=device_aug, transfer=transfer)
             from segclip_tpu.data.pipeline import build_dataset
             factory = functools.partial(
                 build_dataset, dcfg, use_seg=True, normalize=False)
         loader = BatchLoader(ds, sampler, seed=0, prefetch=4,
                              num_workers=num_workers,
                              dataset_factory=factory)
+        probe = _load_one(ds, 0, np.random.default_rng(0))
+        spec = PackedSpec.from_batch(
+            {k: np.asarray(v)[None] for k, v in probe.items()})
+        step_p = make_sharded_train_step(mesh, model, tx,
+                                         trainable=trainable,
+                                         packed_spec=spec)
         e2e_steps = 0
         t0 = 0.0
         nonlocal state
-        for i, b in enumerate(prefetch_to_device(loader.epoch(epoch), mesh)):
-            state, metrics = step(state, b)
+        for i, b in enumerate(prefetch_to_device(loader.epoch(epoch), mesh,
+                                                 pack_spec=spec)):
+            state, metrics = step_p(state, b)
             if i == 0:       # warm: prefetch fill + residual compile
                 float(metrics["loss"])
                 t0 = time.perf_counter()
@@ -223,11 +236,15 @@ def main():
     host_rate = batch / (time.perf_counter() - t0)
     del ds0
 
-    e2e_a = e2e_run(device_aug=False, epoch=1)
-    e2e_b = e2e_run(device_aug=False, epoch=2)
+    e2e_a = e2e_run(epoch=1)
+    e2e_b = e2e_run(epoch=2)
     e2e = (e2e_a + e2e_b) / 2
     spread = abs(e2e_a - e2e_b) / e2e
-    e2e_dev_aug = e2e_run(device_aug=True, epoch=3)
+    e2e_dev_aug = e2e_run(epoch=3, device_aug=True)
+    e2e_yuv_a = e2e_run(epoch=4, transfer="yuv420")
+    e2e_yuv_b = e2e_run(epoch=5, transfer="yuv420")
+    e2e_yuv = (e2e_yuv_a + e2e_yuv_b) / 2
+    yuv_spread = abs(e2e_yuv_a - e2e_yuv_b) / e2e_yuv
 
     print(json.dumps({
         "metric": "pretrain_images_per_sec_per_chip",
@@ -241,6 +258,10 @@ def main():
         "e2e_vs_baseline": round(e2e / BASELINE_IMG_S_PER_CHIP, 3),
         "e2e_run_spread": round(spread, 3),
         "e2e_device_aug_img_s_per_chip": round(e2e_dev_aug, 2),
+        "e2e_yuv420_img_s_per_chip": round(e2e_yuv, 2),
+        "e2e_yuv420_vs_baseline": round(e2e_yuv / BASELINE_IMG_S_PER_CHIP,
+                                        3),
+        "e2e_yuv420_run_spread": round(yuv_spread, 3),
         "host_decode_samples_per_sec": round(host_rate, 1),
         "num_workers": num_workers,
         "host_cores": os.cpu_count(),

@@ -48,6 +48,15 @@ class ModelConfig:
     max_words: int = 32
     # Gumbel temperature for the hard grouping assignment
     gumbel_tau: float = 0.9
+    # FROM-SCRATCH training aid (default 0.0 = the reference objective,
+    # which assumes a pretrained-CLIP init): weight of a group-usage
+    # balance loss KL(mean assignment ‖ uniform). Without it, from-scratch
+    # pretraining collapses every patch into ONE group (a stable optimum
+    # of the superpixel-KL + max-pooled InfoNCE with near-identical
+    # centers and the resulting peaked softmax killing recovery
+    # gradients); gradient flows through the straight-through assignment,
+    # so pair it with a raised gumbel_tau (e.g. 3-5) for usable magnitude.
+    group_balance_weight: float = 0.0
     # Numerics
     compute_dtype: str = "bfloat16"   # matmul/activation dtype under jit
     param_dtype: str = "float32"      # parameter storage dtype
@@ -159,6 +168,17 @@ class DataConfig:
     # cv2-based JPEG decode (pixel-identical; faster only on hosts where
     # libjpeg-turbo-backed cv2 beats PIL — measured slower here)
     fast_decode: bool = False
+    # Image transport to the device: "rgb" ships the uint8 crop; "yuv420"
+    # ships Y + 2x2-subsampled CbCr (~half the bytes — the JPEG stored
+    # 4:2:0 chroma anyway) and reconstructs RGB on device. Lossy vs the
+    # decoded RGB only in chroma detail (quantified in
+    # tests/test_yuv_transport.py); default stays exact.
+    transfer: str = "rgb"
+    # Pack each batch into ONE (B, row_bytes) uint8 buffer for the host→
+    # device transfer (bit-exact bitcast round-trip; the tunneled link pays
+    # ~50 ms PER ARRAY on top of the wire rate — docs/PERF.md). Applies to
+    # the dp train loop; the GSPMD tp path ships fields separately.
+    packed_transfer: bool = True
     # Run the bicubic crop-resize on device inside the jitted step
     # (ops/device_aug.py): the host ships the decoded image padded into a
     # fixed (S, 2S) canvas + crop window and keeps only JPEG decode +

@@ -80,10 +80,17 @@ class PairRecordDataset:
                  fast_decode: bool = False,
                  crop_scale: Tuple[float, float] = (0.5, 1.0),
                  normalize: bool = True,
-                 device_aug: bool = False):
+                 device_aug: bool = False,
+                 transfer: str = "rgb"):
         self.fast_decode = fast_decode
         self.normalize = normalize
         self.device_aug = device_aug
+        if transfer not in ("rgb", "yuv420"):
+            raise ValueError(f"transfer must be rgb|yuv420, got {transfer!r}")
+        if transfer == "yuv420" and (normalize or device_aug):
+            raise ValueError("transfer='yuv420' requires normalize=False "
+                             "and the host-crop path (device_aug=False)")
+        self.transfer = transfer
         self.crop_scale = tuple(crop_scale)
         self.name = name
         self.images = SgrReader(os.path.join(data_dir, f"{name}_images.sgr"))
@@ -134,11 +141,20 @@ class PairRecordDataset:
             # NB: the crop coord stays internal (superpixel cropping below)
             # — shipping it in the batch would change the step's input
             # pytree vs synthetic batches and trigger a spurious recompile.
-            out = {
-                # normalize=False ships uint8; the train step normalizes on
-                # device (4× smaller IPC + PCIe/tunnel transfer).
-                "image": clip_normalize(arr) if self.normalize else arr,
-            }
+            if self.transfer == "yuv420":
+                # ~half the bytes of uint8 RGB through IPC + the host→
+                # device link; the step reconstructs RGB on device
+                # (ops/device_aug.yuv420_to_rgb). The JPEG stored 4:2:0
+                # chroma anyway — see transforms.rgb_to_yuv420.
+                from segclip_tpu.data.transforms import rgb_to_yuv420
+                y, cbcr = rgb_to_yuv420(arr)
+                out = {"image_y": y, "image_cbcr": cbcr}
+            else:
+                out = {
+                    # normalize=False ships uint8; the train step
+                    # normalizes on device (4× smaller IPC + transfer).
+                    "image": clip_normalize(arr) if self.normalize else arr,
+                }
 
         out["input_ids"] = ids
         out["attention_mask"] = mask
@@ -282,7 +298,8 @@ def build_dataset(cfg: DataConfig, use_seg: bool = True,
                                            fast_decode=cfg.fast_decode,
                                            crop_scale=cfg.crop_scale,
                                            normalize=normalize,
-                                           device_aug=cfg.device_aug))
+                                           device_aug=cfg.device_aug,
+                                           transfer=cfg.transfer))
     if not parts:
         raise ValueError(f"no datasets in datatype={cfg.datatype!r}")
     return parts[0] if len(parts) == 1 else ConcatDataset(parts)

@@ -90,6 +90,29 @@ def random_resized_crop_coord(
     return np.asarray(crop), coord
 
 
+def rgb_to_yuv420(arr: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """uint8 RGB (H, W, 3) → (Y (H, W) uint8, CbCr (H/2, W/2, 2) uint8).
+
+    JFIF/BT.601 full-range matrix — the SAME colorspace the JPEG stored,
+    with the SAME 4:2:0 chroma geometry libjpeg decoded from: shipping
+    YUV420 to the device sends ~half the bytes of RGB while discarding
+    (mostly) only chroma detail the JPEG never had. The device inverts it
+    (ops side of the train step); reconstruction error vs the decoded RGB
+    is quantified in tests/test_yuv_transport.py. H and W must be even.
+    """
+    a = arr.astype(np.float32)
+    r, g, b = a[..., 0], a[..., 1], a[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    cbcr = np.stack([cb, cr], axis=-1)
+    h, w = cbcr.shape[:2]
+    # 2x2 box mean (the JPEG encoder's default subsampling filter)
+    sub = cbcr.reshape(h // 2, 2, w // 2, 2, 2).mean(axis=(1, 3))
+    return (np.clip(np.round(y), 0, 255).astype(np.uint8),
+            np.clip(np.round(sub), 0, 255).astype(np.uint8))
+
+
 def eval_transform(img: Image.Image, size: int = 224) -> np.ndarray:
     """Resize short side + center crop (eval path, rawimage_util.py:47)."""
     w, h = img.size

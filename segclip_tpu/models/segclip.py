@@ -138,6 +138,18 @@ class SegCLIP(nn.Module):
             losses["seglabel_loss"] = superpixel_kl_loss(vis.mid["hard_attn"],
                                                          image_seg)
 
+        if c.group_balance_weight > 0 and training:
+            # Anti-collapse usage balance (from-scratch aid, config.py):
+            # KL(mean hard assignment ‖ uniform over groups). The hard map
+            # is straight-through, so this gradient reaches the centers
+            # through the tau-tempered softmax.
+            usage = jnp.mean(vis.mid["hard_attn"].astype(jnp.float32),
+                             axis=(0, 2))                       # (G,)
+            g = usage.shape[0]
+            losses["group_balance_loss"] = (
+                c.group_balance_weight
+                * jnp.sum(usage * jnp.log(jnp.maximum(usage * g, 1e-8))))
+
         # The MAE losses are training-only (the reference forward returns
         # None entirely at eval, modeling.py:255); at training=False we
         # return the deterministic losses (InfoNCE + seglabel) without

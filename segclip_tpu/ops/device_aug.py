@@ -127,6 +127,26 @@ def crop_resize_batch(canvas: jax.Array, window: jax.Array,
                      flipped, out)
 
 
+def yuv420_to_rgb(y: jax.Array, cbcr: jax.Array) -> jax.Array:
+    """Device-side inverse of data.transforms.rgb_to_yuv420.
+
+    y: (B, H, W) uint8; cbcr: (B, H/2, W/2, 2) uint8 → (B, H, W, 3) f32
+    pixels in [0, 255]. Chroma is upsampled bilinearly (libjpeg's "fancy"
+    triangle upsampling — closer to the original decode than nearest) and
+    converted with the exact JFIF inverse matrix.
+    """
+    b, h, w = y.shape
+    cb = cbcr[..., 0].astype(jnp.float32) - 128.0
+    cr = cbcr[..., 1].astype(jnp.float32) - 128.0
+    cb = jax.image.resize(cb, (b, h, w), method="linear")
+    cr = jax.image.resize(cr, (b, h, w), method="linear")
+    yf = y.astype(jnp.float32)
+    r = yf + 1.402 * cr
+    g = yf - 0.344136 * cb - 0.714136 * cr
+    bch = yf + 1.772 * cb
+    return jnp.clip(jnp.stack([r, g, bch], axis=-1), 0.0, 255.0)
+
+
 def superpixel_patch_reduce_one(seg_canvas: jax.Array, window: jax.Array,
                                 img_size: int, patch: int) -> jax.Array:
     """Device equivalent of data/superpixel.crop_seg_from_cache (no-flip

@@ -37,12 +37,15 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def prefetch_to_device(iterator, mesh: Mesh, depth: int = 2):
+def prefetch_to_device(iterator, mesh: Mesh, depth: int = 2,
+                       pack_spec: "PackedSpec | None" = None):
     """Pipeline host→device transfer ahead of consumption: a transfer
     thread shard_batch-es upcoming batches while the consumer runs the
     step, so decode, transfer, and device compute overlap (the classic TPU
     input pipeline; flax.jax_utils.prefetch_to_device equivalent for
-    explicit meshes)."""
+    explicit meshes). With `pack_spec`, each batch is packed into ONE
+    (B, row_bytes) uint8 buffer before transfer (see PackedSpec) and the
+    step unpacks it on device."""
     import queue
     import threading
     q: queue.Queue = queue.Queue(maxsize=depth)
@@ -60,6 +63,8 @@ def prefetch_to_device(iterator, mesh: Mesh, depth: int = 2):
     def worker():
         try:
             for batch in iterator:
+                if pack_spec is not None:
+                    batch = pack_spec.pack(batch)
                 if not put(shard_batch(mesh, batch)):
                     return
         except Exception as e:
@@ -77,6 +82,66 @@ def prefetch_to_device(iterator, mesh: Mesh, depth: int = 2):
             yield item
     finally:
         stop.set()
+
+
+class PackedSpec:
+    """Layout of a batch packed into ONE (B, row_bytes) uint8 buffer.
+
+    The tunneled host→device link pays a large per-array cost (measured
+    ~50 ms/array on top of ~37 MB/s wire rate — docs/PERF.md "Host→device
+    transfer"); packing the 4-6 batch arrays into a single buffer cut a
+    14.6 MB batch transfer from 722 to 405 ms. Packing is bit-exact
+    (bitcast round-trip) and sharding-compatible: the buffer is
+    batch-major, so P('data') sharding on axis 0 is unchanged.
+
+    Multi-byte fields come first so every field's byte offset stays
+    aligned to its itemsize (bitcast_convert_type requires it
+    implicitly; uint8 fields go last).
+    """
+
+    def __init__(self, fields, row_bytes: int):
+        self.fields = fields          # (name, dtype_str, shape, off, nbytes)
+        self.row_bytes = row_bytes
+
+    @classmethod
+    def from_batch(cls, batch) -> "PackedSpec":
+        items = sorted(batch.items(),
+                       key=lambda kv: (np.dtype(kv[1].dtype).itemsize == 1,
+                                       kv[0]))
+        fields, off = [], 0
+        for k, v in items:
+            itemsize = np.dtype(v.dtype).itemsize
+            assert off % itemsize == 0, (k, off, itemsize)
+            n = int(np.prod(v.shape[1:], dtype=np.int64)) * itemsize
+            fields.append((k, str(np.dtype(v.dtype)), tuple(v.shape[1:]),
+                           off, n))
+            off += n
+        return cls(tuple(fields), off)
+
+    def pack(self, batch) -> np.ndarray:
+        b = next(iter(batch.values())).shape[0]
+        buf = np.empty((b, self.row_bytes), np.uint8)
+        for k, _, _, off, n in self.fields:
+            arr = np.ascontiguousarray(batch[k])
+            buf[:, off:off + n] = arr.reshape(b, -1).view(np.uint8)
+        return buf
+
+    def unpack(self, buf: jax.Array) -> dict:
+        """jit-side: slices + bitcasts, no data movement beyond XLA's."""
+        import jax.numpy as jnp
+        out = {}
+        b = buf.shape[0]
+        for k, dt, shp, off, n in self.fields:
+            raw = buf[:, off:off + n]
+            dtype = jnp.dtype(dt)
+            if dtype.itemsize > 1:
+                raw = jax.lax.bitcast_convert_type(
+                    raw.reshape(b, n // dtype.itemsize, dtype.itemsize),
+                    dtype)
+            else:
+                raw = raw.astype(dtype) if dtype != jnp.uint8 else raw
+            out[k] = raw.reshape((b,) + shp)
+        return out
 
 
 def shard_batch(mesh: Mesh, batch):

@@ -86,6 +86,17 @@ def train(cfg: Config, init_model: Optional[str] = None,
                                               seed=cfg.train.seed)
     del params
 
+    # Packed single-buffer transfer (parallel.mesh.PackedSpec): bit-exact,
+    # and the tunneled/tunnel-like links pay per-array overhead the 4-6
+    # field arrays would multiply. Spec comes from one probed sample.
+    pack_spec = None
+    if cfg.data.packed_transfer and cfg.train.tensor_parallelism == 1:
+        from segclip_tpu.data.pipeline import _load_one
+        from segclip_tpu.parallel.mesh import PackedSpec
+        probe = _load_one(dataset, 0, np.random.default_rng(0))
+        pack_spec = PackedSpec.from_batch(
+            {k: np.asarray(v)[None] for k, v in probe.items()})
+
     tp = cfg.train.tensor_parallelism
     if tp > 1 and (tp > jax.device_count() or jax.device_count() % tp):
         raise ValueError(
@@ -115,7 +126,8 @@ def train(cfg: Config, init_model: Optional[str] = None,
         place_state = None
         step_fn = make_sharded_train_step(
             mesh, model, tx, max_grad_norm=cfg.optim.max_grad_norm,
-            grad_accum_steps=cfg.train.grad_accum_steps, trainable=trainable)
+            grad_accum_steps=cfg.train.grad_accum_steps, trainable=trainable,
+            packed_spec=pack_spec)
         restore_sharding = NamedSharding(mesh, P())
 
     start_epoch = 0
@@ -137,7 +149,7 @@ def train(cfg: Config, init_model: Optional[str] = None,
             cfg, range(start_epoch, cfg.train.epochs), loader, step_fn,
             state, model, mesh, steps_per_epoch, t_total, n_hosts, host,
             eval_fn, logger, metrics_writer, ckpts,
-            eval_fetch=(n_hosts > 1 or tp > 1))
+            eval_fetch=(n_hosts > 1 or tp > 1), pack_spec=pack_spec)
     finally:
         # always tear the decode worker pool down — a step failure or
         # KeyboardInterrupt must not leak spawned processes when train()
@@ -150,7 +162,8 @@ def train(cfg: Config, init_model: Optional[str] = None,
 
 def _run_epochs(cfg, epochs, loader, step_fn, state, model, mesh,
                 steps_per_epoch, t_total, n_hosts, host, eval_fn, logger,
-                metrics_writer, ckpts, eval_fetch: bool = False) -> dict:
+                metrics_writer, ckpts, eval_fetch: bool = False,
+                pack_spec=None) -> dict:
     final_loss = float("nan")
     # Track the global step host-side: fetching int(state.step) per step
     # would force a device sync every iteration, serializing dispatch on
@@ -162,7 +175,8 @@ def _run_epochs(cfg, epochs, loader, step_fn, state, model, mesh,
         n_steps = 0
 
         for batch in prefetch_to_device(loader.epoch(epoch), mesh,
-                                        depth=cfg.data.device_prefetch):
+                                        depth=cfg.data.device_prefetch,
+                                        pack_spec=pack_spec):
             state, metrics = step_fn(state, batch)
             gstep += 1
             # host 0 logs/writes (reference gates on local_rank 0,

@@ -69,6 +69,15 @@ def _normalize_images(batch: dict, model: Optional[SegCLIP] = None) -> dict:
     bicubic crop-resize on the MXU first (ops/device_aug.py). jit
     specializes on the batch pytree so these are static branches."""
     from segclip_tpu.data.transforms import CLIP_MEAN, CLIP_STD
+    if "image_y" in batch:
+        # YUV420 transport (data/pipeline.py transfer='yuv420'):
+        # reconstruct RGB on device, then CLIP-normalize.
+        from segclip_tpu.ops.device_aug import yuv420_to_rgb
+        batch = dict(batch)
+        img = yuv420_to_rgb(batch.pop("image_y"),
+                            batch.pop("image_cbcr")) / 255.0
+        batch["image"] = (img - jnp.asarray(CLIP_MEAN)) / jnp.asarray(CLIP_STD)
+        return batch
     if "image_window" in batch:
         from segclip_tpu.ops.device_aug import crop_resize_batch
         batch = dict(batch)
@@ -194,12 +203,23 @@ def train_step_fn(state: TrainState, batch: dict, model: SegCLIP, tx,
 def make_sharded_train_step(mesh: Mesh, model: SegCLIP, tx,
                             max_grad_norm: float = 1.0,
                             grad_accum_steps: int = 1,
-                            trainable: Optional[Any] = None):
-    """jit(shard_map(train_step)): batch sharded on `data`, state replicated."""
+                            trainable: Optional[Any] = None,
+                            packed_spec=None):
+    """jit(shard_map(train_step)): batch sharded on `data`, state replicated.
+
+    With `packed_spec` (parallel.mesh.PackedSpec) the step takes the single
+    packed (B, row_bytes) uint8 buffer the prefetch thread ships (one
+    host→device transfer instead of 4-6 — the tunneled link pays ~50 ms
+    per array) and unpacks it on device."""
     fn = functools.partial(train_step_fn, model=model, tx=tx,
                            max_grad_norm=max_grad_norm, axis_name=DATA_AXIS,
                            grad_accum_steps=grad_accum_steps,
                            trainable=trainable)
+    if packed_spec is not None:
+        inner = fn
+
+        def fn(state, buf):
+            return inner(state, packed_spec.unpack(buf))
     sharded = shard_map(
         fn, mesh=mesh,
         in_specs=(P(), P(DATA_AXIS)),
