@@ -129,11 +129,21 @@ def _background(rng: np.random.Generator, w: int, h: int) -> np.ndarray:
 
 def generate_scene(
     rng: np.random.Generator, size: Tuple[int, int] = (224, 224),
-    max_shapes: int = 3,
+    max_shapes: int = 3, color_words: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray, str]:
     """One composite scene → (image uint8 (h,w,3), mask int32 (h,w), caption).
 
     Mask values: 0 background, 1 + SHAPE_CLASSES.index(kind) per shape.
+
+    color_words=False drops the color adjectives from the caption ("a
+    photo of a circle and a star.") while drawing the SAME rng stream —
+    images are byte-identical either way. This matters for the
+    learnability proof: with color words present, InfoNCE at modest batch
+    sizes is largely solvable from color statistics alone (colors are
+    near-unique per batch), so shape names never need to ground and
+    zero-shot shape mIoU stays at chance even while the grouping itself
+    becomes clean. Shape-only captions put the whole contrastive signal
+    on the class names the eval asks about.
     """
     w, h = size
     img = Image.fromarray(_background(rng, w, h))
@@ -164,7 +174,8 @@ def generate_scene(
         angle = float(rng.uniform(0, 2 * math.pi))
         _draw_shape(draw, mdraw, kind, cx, cy, r, angle, color,
                     1 + SHAPE_CLASSES.index(kind))
-        parts.append(f"a {color_name} {kind}")
+        parts.append(f"a {color_name} {kind}" if color_words
+                     else f"a {kind}")
 
     if not parts:                         # degenerate: empty scene
         return generate_scene(rng, size, max_shapes)
@@ -181,7 +192,8 @@ def write_train_corpus(out_dir: str, n_images: int, name: str = "shapes",
                        seed: int = 0, quality: int = 90,
                        min_side: int = 224, max_side: int = 288,
                        log_every: int = 2000,
-                       superpixels: bool = True) -> str:
+                       superpixels: bool = True,
+                       color_words: bool = True) -> str:
     """Pack a training corpus: <name>_{images,captions,seg}.sgr.
 
     Superpixels come from the REAL Felzenszwalb path (scale=224 sigma=0.9
@@ -202,7 +214,8 @@ def write_train_corpus(out_dir: str, n_images: int, name: str = "shapes",
     for i in range(n_images):
         w = int(rng.integers(min_side, max_side + 1))
         h = int(rng.integers(min_side, max_side + 1))
-        img, _, caption = generate_scene(rng, (w, h))
+        img, _, caption = generate_scene(rng, (w, h),
+                                         color_words=color_words)
         buf = io.BytesIO()
         Image.fromarray(img).save(buf, format="JPEG", quality=quality)
         key = f"s{i:06d}"
