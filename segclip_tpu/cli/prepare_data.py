@@ -378,7 +378,7 @@ def cmd_shapes(args):
     logger = get_logger()
     write_train_corpus(args.out_dir, args.train_n, seed=args.seed,
                        superpixels=not args.no_superpixels,
-                       color_words=not args.no_color_words)
+                       captions=args.captions)
     logger.info("train corpus: %d scenes → %s/shapes_*.sgr",
                 args.train_n, args.out_dir)
     eval_dir = os.path.join(args.out_dir, "eval")
@@ -451,10 +451,13 @@ def main(argv=None):
     p.add_argument("--eval-n", type=int, default=200)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--no-superpixels", action="store_true")
-    p.add_argument("--no-color-words", action="store_true",
-                   help="shape-only captions: removes the color-statistics "
-                        "shortcut from the contrastive task (see "
-                        "data/procgen.generate_scene)")
+    p.add_argument("--captions", choices=["color", "plain", "both"],
+                   default="both",
+                   help="caption style(s) per image; 'both' (default) "
+                        "packs two samples/image — color-only has a "
+                        "color-statistics shortcut that never grounds "
+                        "shape names, plain-only learns slowly from "
+                        "duplicate false-negatives (data/procgen.py)")
     p.set_defaults(fn=cmd_shapes)
 
     p = sub.add_parser("coco-gt")

@@ -127,23 +127,24 @@ def _background(rng: np.random.Generator, w: int, h: int) -> np.ndarray:
     return np.clip(grad + noise, 0, 255).astype(np.uint8)
 
 
-def generate_scene(
+def _scene_with_captions(
     rng: np.random.Generator, size: Tuple[int, int] = (224, 224),
-    max_shapes: int = 3, color_words: bool = True,
-) -> Tuple[np.ndarray, np.ndarray, str]:
-    """One composite scene → (image uint8 (h,w,3), mask int32 (h,w), caption).
+    max_shapes: int = 3,
+) -> Tuple[np.ndarray, np.ndarray, str, str]:
+    """One composite scene → (image, mask, caption_color, caption_plain).
 
     Mask values: 0 background, 1 + SHAPE_CLASSES.index(kind) per shape.
-
-    color_words=False drops the color adjectives from the caption ("a
-    photo of a circle and a star.") while drawing the SAME rng stream —
-    images are byte-identical either way. This matters for the
-    learnability proof: with color words present, InfoNCE at modest batch
-    sizes is largely solvable from color statistics alone (colors are
-    near-unique per batch), so shape names never need to ground and
-    zero-shot shape mIoU stays at chance even while the grouping itself
-    becomes clean. Shape-only captions put the whole contrastive signal
-    on the class names the eval asks about.
+    Both caption styles describe the same scene from the same rng stream:
+      color: "a photo of a red circle and a blue star."
+      plain: "a photo of a circle and a star."
+    Why both exist (measured on-chip, docs/PERF.md): with only color
+    captions, InfoNCE at modest batch sizes is largely solvable from color
+    statistics (colors are near-unique per batch) so shape names never
+    ground and zero-shot shape mIoU stays at chance even while grouping
+    becomes clean; with only plain captions the task has heavy duplicate
+    false-negatives (few distinct captions) and learns slowly. Packing
+    BOTH as two samples per image (the COCO multi-caption pattern) gives
+    rich features AND class-name grounding.
     """
     w, h = size
     img = Image.fromarray(_background(rng, w, h))
@@ -153,6 +154,7 @@ def generate_scene(
     n = int(rng.integers(1, max_shapes + 1))
     placed: List[Tuple[float, float, float]] = []
     parts: List[str] = []
+    plain_parts: List[str] = []
     for _ in range(n):
         kind = SHAPE_CLASSES[rng.integers(len(SHAPE_CLASSES))]
         color_name = list(COLORS)[rng.integers(len(COLORS))]
@@ -174,18 +176,30 @@ def generate_scene(
         angle = float(rng.uniform(0, 2 * math.pi))
         _draw_shape(draw, mdraw, kind, cx, cy, r, angle, color,
                     1 + SHAPE_CLASSES.index(kind))
-        parts.append(f"a {color_name} {kind}" if color_words
-                     else f"a {kind}")
+        parts.append(f"a {color_name} {kind}")
+        plain_parts.append(f"a {kind}")
 
     if not parts:                         # degenerate: empty scene
-        return generate_scene(rng, size, max_shapes)
+        return _scene_with_captions(rng, size, max_shapes)
 
-    if len(parts) == 1:
-        desc = parts[0]
-    else:
-        desc = ", ".join(parts[:-1]) + " and " + parts[-1]
+    def join(ps):
+        return ps[0] if len(ps) == 1 else (
+            ", ".join(ps[:-1]) + " and " + ps[-1])
+
     template = CAPTION_TEMPLATES[rng.integers(len(CAPTION_TEMPLATES))]
-    return np.asarray(img), np.asarray(mask, np.int32), template.format(desc)
+    return (np.asarray(img), np.asarray(mask, np.int32),
+            template.format(join(parts)),
+            template.format(join(plain_parts)))
+
+
+def generate_scene(
+    rng: np.random.Generator, size: Tuple[int, int] = (224, 224),
+    max_shapes: int = 3, color_words: bool = True,
+) -> Tuple[np.ndarray, np.ndarray, str]:
+    """One scene → (image, mask, caption); see _scene_with_captions."""
+    img, mask, cap_color, cap_plain = _scene_with_captions(rng, size,
+                                                           max_shapes)
+    return img, mask, cap_color if color_words else cap_plain
 
 
 def write_train_corpus(out_dir: str, n_images: int, name: str = "shapes",
@@ -193,8 +207,13 @@ def write_train_corpus(out_dir: str, n_images: int, name: str = "shapes",
                        min_side: int = 224, max_side: int = 288,
                        log_every: int = 2000,
                        superpixels: bool = True,
-                       color_words: bool = True) -> str:
+                       captions: str = "both") -> str:
     """Pack a training corpus: <name>_{images,captions,seg}.sgr.
+
+    captions: "color" | "plain" | "both" — caption styles written per
+    image ("both" packs two samples per image, the COCO multi-caption
+    pattern; see _scene_with_captions for why it matters). The image/seg
+    shards are byte-identical across all three modes (same rng stream).
 
     Superpixels come from the REAL Felzenszwalb path (scale=224 sigma=0.9
     min_size=224 — the reference's extraction settings), not from the GT
@@ -214,13 +233,14 @@ def write_train_corpus(out_dir: str, n_images: int, name: str = "shapes",
     for i in range(n_images):
         w = int(rng.integers(min_side, max_side + 1))
         h = int(rng.integers(min_side, max_side + 1))
-        img, _, caption = generate_scene(rng, (w, h),
-                                         color_words=color_words)
+        img, _, cap_color, cap_plain = _scene_with_captions(rng, (w, h))
+        caps = {"color": [cap_color], "plain": [cap_plain],
+                "both": [cap_color, cap_plain]}[captions]
         buf = io.BytesIO()
         Image.fromarray(img).save(buf, format="JPEG", quality=quality)
         key = f"s{i:06d}"
         wi.add(key, buf.getvalue())
-        wc.add(key, json.dumps([caption]).encode())
+        wc.add(key, json.dumps(caps).encode())
         if ws is not None:
             labels = felzenszwalb(img, scale=224.0, sigma=0.9, min_size=224)
             ws.add(key, encode_seg_map(labels))
