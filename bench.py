@@ -178,7 +178,8 @@ def main():
     import dataclasses
     from segclip_tpu.config import DataConfig
     num_workers = int(os.environ.get("SEGCLIP_BENCH_WORKERS", "0"))
-    corpus_images = max(512, -(-batch * 22 // CORPUS_CAPS_PER_IMAGE))
+    # 25 batches/epoch: 3 warm + ≥20 timed steps with margin
+    corpus_images = max(512, -(-batch * 25 // CORPUS_CAPS_PER_IMAGE))
     corpus = ensure_corpus(corpus_images)
 
     from segclip_tpu.data.pipeline import _load_one
@@ -217,7 +218,11 @@ def main():
         for i, b in enumerate(prefetch_to_device(loader.epoch(epoch), mesh,
                                                  pack_spec=spec)):
             state, metrics = step_p(state, b)
-            if i == 0:       # warm: prefetch fill + residual compile
+            if i < 3:
+                # Warm THREE synced steps: first compile, then the
+                # steady-state-input-sharding recompile (CLAUDE.md "warm up
+                # twice"), +1 margin — measured: a warm-once window eats a
+                # multi-minute recompile inside the timed region.
                 float(metrics["loss"])
                 t0 = time.perf_counter()
                 continue

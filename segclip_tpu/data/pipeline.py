@@ -53,11 +53,26 @@ from segclip_tpu.data.transforms import (clip_normalize,
                                          random_resized_crop_coord)
 
 
-def _decode_jpeg(data: bytes, use_cv2: bool) -> Image.Image:
+def _decode_jpeg(data: bytes, use_cv2: bool,
+                 mode: str = "RGB") -> Image.Image:
     """JPEG decode. cv2 is pixel-identical to PIL for baseline JPEG but
     measured SLOWER on this single-core host for 224-side images (3.0 vs
     1.6 ms) — PIL (the reference's decoder) is the default; the cv2 path is
-    kept for hosts where libjpeg-turbo-backed cv2 wins."""
+    kept for hosts where libjpeg-turbo-backed cv2 wins.
+
+    mode='YCbCr' (yuv420 transport path) asks libjpeg for its NATIVE
+    output colorspace via draft() — the decoder skips its YCbCr→RGB
+    conversion and hands back the stored planes (grayscale/exotic JPEGs
+    fall back to a PIL convert, same JFIF matrix)."""
+    if mode == "YCbCr":
+        img = Image.open(io.BytesIO(data))
+        img.draft("YCbCr", img.size)
+        if img.mode != "YCbCr":
+            try:
+                img = img.convert("YCbCr")
+            except ValueError:
+                img = img.convert("RGB").convert("YCbCr")
+        return img
     if use_cv2:
         try:
             import cv2
@@ -126,7 +141,9 @@ class PairRecordDataset:
 
         caption = json.loads(self.captions.get(key))[cap_i]
         jpeg = self.images.get(key)
-        img = _decode_jpeg(jpeg, self.fast_decode)
+        img = _decode_jpeg(jpeg, self.fast_decode,
+                           mode="YCbCr" if self.transfer == "yuv420"
+                           else "RGB")
 
         from segclip_tpu.data.tokenizer import tokenize_with_mask
         ids, mask = tokenize_with_mask(self.tokenizer, caption,
@@ -135,26 +152,28 @@ class PairRecordDataset:
         if self.device_aug:
             out = self._sample_device_aug(img, rng)
             coord = out.pop("_coord")
+        elif self.transfer == "yuv420":
+            # ~half the bytes of uint8 RGB through IPC + the host→device
+            # link; the step reconstructs RGB on device
+            # (ops/device_aug.yuv420_to_rgb). Decode, crop, and resample
+            # all happen YCbCr-native — the JPEG stored 4:2:0 chroma in
+            # this colorspace anyway (transforms.random_resized_crop_yuv420
+            # for the resample-order parity note).
+            from segclip_tpu.data.transforms import random_resized_crop_yuv420
+            y, cbcr, coord = random_resized_crop_yuv420(
+                img, self.image_size, rng, scale=self.crop_scale)
+            out = {"image_y": y, "image_cbcr": cbcr}
         else:
             arr, coord = random_resized_crop_coord(img, self.image_size, rng,
                                                    scale=self.crop_scale)
             # NB: the crop coord stays internal (superpixel cropping below)
             # — shipping it in the batch would change the step's input
             # pytree vs synthetic batches and trigger a spurious recompile.
-            if self.transfer == "yuv420":
-                # ~half the bytes of uint8 RGB through IPC + the host→
-                # device link; the step reconstructs RGB on device
-                # (ops/device_aug.yuv420_to_rgb). The JPEG stored 4:2:0
-                # chroma anyway — see transforms.rgb_to_yuv420.
-                from segclip_tpu.data.transforms import rgb_to_yuv420
-                y, cbcr = rgb_to_yuv420(arr)
-                out = {"image_y": y, "image_cbcr": cbcr}
-            else:
-                out = {
-                    # normalize=False ships uint8; the train step
-                    # normalizes on device (4× smaller IPC + transfer).
-                    "image": clip_normalize(arr) if self.normalize else arr,
-                }
+            out = {
+                # normalize=False ships uint8; the train step
+                # normalizes on device (4× smaller IPC + transfer).
+                "image": clip_normalize(arr) if self.normalize else arr,
+            }
 
         out["input_ids"] = ids
         out["attention_mask"] = mask

@@ -90,6 +90,41 @@ def random_resized_crop_coord(
     return np.asarray(crop), coord
 
 
+def random_resized_crop_yuv420(
+    img: Image.Image, size: int, rng: np.random.Generator,
+    scale: Tuple[float, float] = (0.5, 1.0),
+    ratio: Tuple[float, float] = (3 / 4, 4 / 3),
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """YCbCr-native RandomResizedCrop for the yuv420 transport path.
+
+    Takes a PIL image already decoded in 'YCbCr' mode (libjpeg's native
+    output colorspace — `_decode_jpeg(..., mode='YCbCr')` skips the
+    decoder's YCbCr→RGB conversion entirely), crops with the IDENTICAL rng
+    window sequence as `random_resized_crop_coord`, and resamples Y at
+    `size`² but Cb/Cr directly at (size/2)² — a quarter of the chroma
+    resample work, landing straight in the 4:2:0 transport geometry.
+
+    vs the reference-ordered path (RGB bicubic resize → rgb_to_yuv420):
+    the color matrix is affine and bicubic resampling is linear, so the two
+    orders agree in exact arithmetic; the measured uint8 difference on the
+    reconstructed RGB is quantified in tests/test_yuv_transport.py (luma
+    within rounding, chroma within the existing 4:2:0 loss envelope).
+
+    Returns (y (size, size) u8, cbcr (size/2, size/2, 2) u8, coord).
+    """
+    width, height = img.size
+    i, j, h, w, coord = sample_crop_window(width, height, rng, scale, ratio)
+    if img.mode != "YCbCr":
+        img = img.convert("YCbCr")
+    crop = img.crop((j, i, j + w, i + h))
+    ych, cbch, crch = crop.split()
+    half = size // 2
+    y = np.asarray(ych.resize((size, size), Image.BICUBIC))
+    cb = np.asarray(cbch.resize((half, half), Image.BICUBIC))
+    cr = np.asarray(crch.resize((half, half), Image.BICUBIC))
+    return y, np.stack([cb, cr], axis=-1), coord
+
+
 def rgb_to_yuv420(arr: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """uint8 RGB (H, W, 3) → (Y (H, W) uint8, CbCr (H/2, W/2, 2) uint8).
 

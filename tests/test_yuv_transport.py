@@ -51,6 +51,57 @@ def test_yuv420_roundtrip_quality():
     assert np.abs(rec2 - gray.astype(np.float32)).max() <= 2.0
 
 
+def test_yuv420_ycbcr_native_path_parity():
+    """The production yuv420 path (decode→crop→resample all YCbCr-native,
+    transforms.random_resized_crop_yuv420) vs the reference-ordered oracle
+    (RGB bicubic resize → rgb_to_yuv420): the color matrix is affine and
+    bicubic resampling linear, so they agree up to uint8 rounding on luma;
+    chroma differs only by resample-at-112 vs resize-224-then-box-2x2,
+    inside the existing 4:2:0 loss envelope."""
+    import io
+    from PIL import Image
+    from segclip_tpu.data.pipeline import _decode_jpeg
+    from segclip_tpu.data.transforms import (random_resized_crop_coord,
+                                             random_resized_crop_yuv420,
+                                             rgb_to_yuv420)
+    from segclip_tpu.ops.device_aug import yuv420_to_rgb
+    rng = np.random.default_rng(3)
+    raw = _photo_texture(rng, 240, 300)
+    buf = io.BytesIO()
+    Image.fromarray(raw).save(buf, "JPEG", quality=90)
+    jpeg = buf.getvalue()
+
+    # identical rng streams → identical crop windows
+    y_f, cbcr_f, coord_f = random_resized_crop_yuv420(
+        _decode_jpeg(jpeg, False, mode="YCbCr"), 224,
+        np.random.default_rng(7))
+    arr, coord_o = random_resized_crop_coord(
+        _decode_jpeg(jpeg, False), 224, np.random.default_rng(7))
+    np.testing.assert_array_equal(coord_f, coord_o)
+    y_o, cbcr_o = rgb_to_yuv420(arr)
+
+    dy = np.abs(y_f.astype(np.float32) - y_o.astype(np.float32))
+    assert dy.mean() < 1.5, dy.mean()          # luma: rounding-order only
+    assert np.quantile(dy, 0.99) <= 4.0
+
+    rec_f = np.asarray(yuv420_to_rgb(jnp.asarray(y_f[None]),
+                                     jnp.asarray(cbcr_f[None])))[0]
+    rec_o = np.asarray(yuv420_to_rgb(jnp.asarray(y_o[None]),
+                                     jnp.asarray(cbcr_o[None])))[0]
+    drgb = np.abs(rec_f - rec_o)
+    assert drgb.mean() < 3.0, drgb.mean()      # chroma filter mismatch only
+    assert np.quantile(drgb, 0.99) < 12.0
+
+    # grayscale JPEG falls back through the convert path, same schema
+    gbuf = io.BytesIO()
+    Image.fromarray(raw[..., 0]).save(gbuf, "JPEG", quality=90)
+    yg, cg, _ = random_resized_crop_yuv420(
+        _decode_jpeg(gbuf.getvalue(), False, mode="YCbCr"), 224,
+        np.random.default_rng(7))
+    assert yg.shape == (224, 224) and cg.shape == (112, 112, 2)
+    assert np.abs(cg.astype(np.int32) - 128).max() <= 1   # no chroma
+
+
 def test_pipeline_yuv_schema_and_step(tmp_path):
     from segclip_tpu.data.procgen import write_train_corpus
     from segclip_tpu.data.pipeline import PairRecordDataset
