@@ -168,12 +168,17 @@ class DataConfig:
     # cv2-based JPEG decode (pixel-identical; faster only on hosts where
     # libjpeg-turbo-backed cv2 beats PIL — measured slower here)
     fast_decode: bool = False
-    # Image transport to the device: "rgb" ships the uint8 crop; "yuv420"
-    # ships Y + 2x2-subsampled CbCr (~half the bytes — the JPEG stored
-    # 4:2:0 chroma anyway) and reconstructs RGB on device. Lossy vs the
-    # decoded RGB only in chroma detail (quantified in
-    # tests/test_yuv_transport.py); default stays exact.
-    transfer: str = "rgb"
+    # Image transport to the device: "yuv420" (default) decodes, crops and
+    # resamples YCbCr-native — the colorspace the JPEG stored, with 4:2:0
+    # chroma already subsampled at encode time — ships Y + 2x2-subsampled
+    # CbCr (~half the bytes of RGB) and reconstructs RGB on device
+    # (ops/device_aug.yuv420_to_rgb). It is also the fastest HOST path:
+    # libjpeg skips its YCbCr→RGB conversion and chroma resamples at
+    # (size/2)². Differs from the "rgb" transport only in chroma detail
+    # (luma within rounding; quantified in tests/test_yuv_transport.py).
+    # "rgb" ships the uint8 RGB crop byte-exact to the reference's
+    # host-side transform chain — the parity transport.
+    transfer: str = "yuv420"
     # Pack each batch into ONE (B, row_bytes) uint8 buffer for the host→
     # device transfer (bit-exact bitcast round-trip; the tunneled link pays
     # ~50 ms PER ARRAY on top of the wire rate — docs/PERF.md). Applies to

@@ -299,6 +299,18 @@ def build_dataset(cfg: DataConfig, use_seg: bool = True,
     produced samples always match the model's embedding table, input
     resolution, and superpixel grid."""
     names = [n for n in cfg.datatype.split(",") if n]
+    transfer = cfg.transfer
+    if transfer == "yuv420" and (normalize or cfg.device_aug):
+        # The yuv420 transport rides the uint8 device-normalized schema;
+        # device_aug ships its own padded canvas. An explicit opt-in to
+        # either wins over the transfer default — fall back to the rgb
+        # parity transport (and say so for the user-visible flag).
+        if cfg.device_aug:
+            import logging
+            logging.getLogger("segclip").warning(
+                "data.device_aug=True overrides data.transfer='yuv420' "
+                "(device_aug ships its own canvas); using transfer='rgb'")
+        transfer = "rgb"
     parts = []
     for name in names:
         if name == "synthetic":
@@ -318,7 +330,7 @@ def build_dataset(cfg: DataConfig, use_seg: bool = True,
                                            crop_scale=cfg.crop_scale,
                                            normalize=normalize,
                                            device_aug=cfg.device_aug,
-                                           transfer=cfg.transfer))
+                                           transfer=transfer))
     if not parts:
         raise ValueError(f"no datasets in datatype={cfg.datatype!r}")
     return parts[0] if len(parts) == 1 else ConcatDataset(parts)
