@@ -199,6 +199,18 @@ class TrainConfig:
     seed: int = 42
     grad_accum_steps: int = 1
     log_every: int = 50
+    # Save a checkpoint every N epochs (the final epoch always saves).
+    # 1 = the reference's per-epoch cadence (main_task_align.py:258-274);
+    # raise it when the serialized state is large relative to disk
+    # bandwidth (a ViT-B/16 train state is ~2.3 GB).
+    checkpoint_every: int = 1
+    # Run at most N epochs in THIS process then return (0 = all remaining).
+    # The LR schedule still spans the full `epochs`, so a long run can be
+    # split into resume segments (train --do-resume) with identical
+    # numerics — the operational answer to hosts where a single process
+    # can't survive the whole run (e.g. the tunneled-client host-memory
+    # leak quantified in docs/PERF.md).
+    epochs_per_run: int = 0
     output_dir: str = "output"
     resume: Optional[str] = None
     # mesh axis sizes; -1 on `data` means "all devices (÷ tp)".

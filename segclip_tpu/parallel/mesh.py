@@ -69,7 +69,8 @@ def prefetch_to_device(iterator, mesh: Mesh, depth: int = 2,
         # device_put always copies (the CPU backend may alias host memory).
         ring: list = []
         ring_n = depth + 2
-        reuse = jax.default_backend() != "cpu"
+        reuse = (jax.default_backend() != "cpu"
+                 and not globals().get("_DISABLE_PACK_RING", False))
         n = 0
         try:
             for batch in iterator:

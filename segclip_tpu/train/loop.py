@@ -143,10 +143,14 @@ def train(cfg: Config, init_model: Optional[str] = None,
     if place_state is not None and not resumed:
         state = place_state(state)     # restore already placed on the mesh
 
+    end_epoch = cfg.train.epochs
+    if cfg.train.epochs_per_run > 0:
+        end_epoch = min(end_epoch, start_epoch + cfg.train.epochs_per_run)
+
     ckpts = []
     try:
         result = _run_epochs(
-            cfg, range(start_epoch, cfg.train.epochs), loader, step_fn,
+            cfg, range(start_epoch, end_epoch), loader, step_fn,
             state, model, mesh, steps_per_epoch, t_total, n_hosts, host,
             eval_fn, logger, metrics_writer, ckpts,
             eval_fetch=(n_hosts > 1 or tp > 1), pack_spec=pack_spec)
@@ -155,7 +159,7 @@ def train(cfg: Config, init_model: Optional[str] = None,
         # KeyboardInterrupt must not leak spawned processes when train()
         # is used as a library function.
         loader.close()
-    return {"epochs_run": cfg.train.epochs - start_epoch,
+    return {"epochs_run": end_epoch - start_epoch,
             "final_loss": result["final_loss"], "checkpoints": ckpts,
             "state": result["state"], "model": model}
 
@@ -206,10 +210,18 @@ def _run_epochs(cfg, epochs, loader, step_fn, state, model, mesh,
 
         # Orbax save is a multi-process collective — every host must call it
         # (gating on host 0 deadlocks multi-host runs at the save barrier).
-        path = save_checkpoint(cfg.train.output_dir, epoch, state)
-        if host == 0:
-            ckpts.append(path)
-            logger.info("checkpoint saved to %s", path)
+        # Cadence: every checkpoint_every epochs plus always the last
+        # epoch of this run — both the schedule's end AND a segment end
+        # under epochs_per_run, so a resume always has a checkpoint
+        # (default 1 = the reference's per-epoch save,
+        # main_task_align.py:258-274; the gate is config-derived so all
+        # hosts take the same branch).
+        if ((epoch + 1) % cfg.train.checkpoint_every == 0
+                or epoch == epochs[-1]):
+            path = save_checkpoint(cfg.train.output_dir, epoch, state)
+            if host == 0:
+                ckpts.append(path)
+                logger.info("checkpoint saved to %s", path)
 
         # Per-epoch zero-shot eval: host 0 runs the (local-device) segmenter
         # and the scalar is broadcast to every host — the reference's rank-0
