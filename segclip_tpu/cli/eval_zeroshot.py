@@ -46,9 +46,10 @@ def main(argv=None):
                          ">1 device/process is available)")
     ap.add_argument("--images-per-device", type=int, default=1,
                     help=">1 batches several same-shape-bucket images per "
-                         "device (+50%% img/s measured at 4 on one v5e; "
-                         "borderline pixels may flip within bf16 rounding "
-                         "— bit-identical at f32)")
+                         "device (+51%% img/s measured at 4 on one v5e; "
+                         "6.3%% of pixels argmax-flip under the bf16 "
+                         "vmapped-dot tiling, mIoU +-0.3 — bit-identical "
+                         "at f32; docs/PERF.md)")
     ap.add_argument("--dist-coordinator", default=None, metavar="HOST:PORT")
     ap.add_argument("--dist-num-processes", type=int, default=None)
     ap.add_argument("--dist-process-id", type=int, default=None)

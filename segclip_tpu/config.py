@@ -229,8 +229,12 @@ class EvalConfig:
     the standalone eval CLI exposes overrides via flags."""
     dataset: str = "voc"
     template_set: str = "simple"
-    # >1 batches same-bucket images per device during the per-epoch eval
-    # (+50% img/s at 4 on one v5e; bf16 borderline pixels may flip)
+    # >1 batches same-bucket images per device during the per-epoch eval.
+    # Measured at 4 on one v5e, trained ckpt, 300-image study: +51% img/s,
+    # but 6.3% of pixels argmax-flip under the bf16 vmapped-dot tiling
+    # (mIoU +0.30, a wash) — results would depend on the batching factor,
+    # so the reproducible sequential path stays default (docs/PERF.md
+    # "Zero-shot seg inference"). Bit-identical at f32 compute.
     images_per_device: int = 1
 
 
