@@ -74,11 +74,19 @@ def miou_of(preds, dataset, num_classes):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--ckpt", required=True)
+    ap.add_argument("--ckpt", default=None,
+                    help="Orbax params dir; omit for random init (harsher "
+                         "determinism test: near-uniform affinities maximize "
+                         "near-tie argmax pixels)")
     ap.add_argument("--data-root", default="/root/shapes_data/eval")
     ap.add_argument("--dataset", default="shapes")
     ap.add_argument("--ipd", type=int, default=4)
     ap.add_argument("--limit", type=int, default=None)
+    ap.add_argument("--dtype", default="bfloat16",
+                    choices=["bfloat16", "float32"],
+                    help="model.compute_dtype for the eval encode — float32 "
+                         "is the reference's eval precision (amp O0, "
+                         "seg_segmentation/default.yml:2)")
     args = ap.parse_args()
 
     from segclip_tpu.utils.jax_setup import setup_jax
@@ -90,7 +98,8 @@ def main():
     from segclip_tpu.parallel.mesh import make_mesh
 
     cfg = ModelConfig(use_vision_mae_recon=True, use_seglabel=True,
-                      gumbel_tau=3.0, group_balance_weight=1.0)
+                      gumbel_tau=3.0, group_balance_weight=1.0,
+                      compute_dtype=args.dtype)
     model, params, cfg = load_model(args.ckpt, cfg)
     spec = DATASET_SPECS[args.dataset]
     segmenter = build_segmenter(model, params, cfg, spec)

@@ -48,8 +48,25 @@ def main(argv=None):
                     help=">1 batches several same-shape-bucket images per "
                          "device (+51%% img/s measured at 4 on one v5e; "
                          "6.3%% of pixels argmax-flip under the bf16 "
-                         "vmapped-dot tiling, mIoU +-0.3 — bit-identical "
-                         "at f32; docs/PERF.md)")
+                         "vmapped-dot tiling, mIoU +-0.3 — invariant under "
+                         "--compute-dtype float32; docs/PERF.md)")
+    ap.add_argument("--compute-dtype", default=None,
+                    choices=["bfloat16", "float32"],
+                    help="encode dtype; default keeps the model config's "
+                         "(bfloat16). float32 is the reference's eval "
+                         "precision (amp O0, seg_segmentation/default.yml:2) "
+                         "and — together with the matmul precision below — "
+                         "makes predictions invariant to "
+                         "--images-per-device batching (docs/PERF.md)")
+    ap.add_argument("--matmul-precision", default=None,
+                    choices=["default", "highest"],
+                    help="TPU dot precision for the eval graphs. The TPU "
+                         "lowers float32 dots to bf16 multiplies unless "
+                         "'highest' (6-pass) is requested — float32 storage "
+                         "alone still argmax-flips 8%% of pixels under "
+                         "batching; float32+highest flips <1e-6 "
+                         "(docs/PERF.md). Defaults to 'highest' when "
+                         "--compute-dtype float32, else 'default'")
     ap.add_argument("--dist-coordinator", default=None, metavar="HOST:PORT")
     ap.add_argument("--dist-num-processes", type=int, default=None)
     ap.add_argument("--dist-process-id", type=int, default=None)
@@ -74,6 +91,9 @@ def main(argv=None):
     cfg = ModelConfig()
     for item in args.opts:
         cfg = apply_overrides(cfg, [item])
+    if args.compute_dtype:
+        import dataclasses as _dc
+        cfg = _dc.replace(cfg, compute_dtype=args.compute_dtype)
 
     model, params, cfg = load_model(args.init_model, cfg)
     spec = DATASET_SPECS[args.dataset]
@@ -100,13 +120,19 @@ def main(argv=None):
                    or (args.sharded == "auto"
                        and (jax.local_device_count() > 1
                             or jax.process_count() > 1)))
-    if use_sharded:
-        from segclip_tpu.evalseg.inference import evaluate_dataset_sharded
-        results = evaluate_dataset_sharded(
-            segmenter, dataset, logger=logger,
-            images_per_device=args.images_per_device)
-    else:
-        results = evaluate_dataset(segmenter, dataset, logger=logger)
+    precision = args.matmul_precision or (
+        "highest" if args.compute_dtype == "float32" else "default")
+    import contextlib
+    prec_ctx = (jax.default_matmul_precision("highest")
+                if precision == "highest" else contextlib.nullcontext())
+    with prec_ctx:
+        if use_sharded:
+            from segclip_tpu.evalseg.inference import evaluate_dataset_sharded
+            results = evaluate_dataset_sharded(
+                segmenter, dataset, logger=logger,
+                images_per_device=args.images_per_device)
+        else:
+            results = evaluate_dataset(segmenter, dataset, logger=logger)
     logger.info("mIoU=%.2f mAcc=%.2f aAcc=%.2f", results["mIoU"],
                 results["mAcc"], results["aAcc"])
     print(json.dumps({"dataset": spec.name, "mIoU": results["mIoU"],

@@ -117,23 +117,41 @@ def main(argv=None):
         from segclip_tpu.evalseg.inference import evaluate_dataset
 
         def eval_fn(model, params):
+            import contextlib
             import jax
             spec = DATASET_SPECS[cfg.eval.dataset]
-            seg = build_segmenter(model, params, cfg.model, spec,
+            mcfg = cfg.model
+            prec_ctx = contextlib.nullcontext()
+            if cfg.eval.compute_dtype:
+                # dtype-clone of the training model (params shared): the
+                # reference evals at fp32 regardless of the train precision
+                # (amp O0 default, main_seg_zeroshot.py:179). float32 also
+                # scopes 'highest' matmul precision over the eval graphs —
+                # f32 storage alone still lowers dots to bf16 multiplies on
+                # TPU (docs/PERF.md); the scope ends before any training
+                # graph can retrace.
+                from segclip_tpu.models.segclip import SegCLIP
+                mcfg = dataclasses.replace(
+                    mcfg, compute_dtype=cfg.eval.compute_dtype)
+                model = SegCLIP(mcfg)
+                if cfg.eval.compute_dtype == "float32":
+                    prec_ctx = jax.default_matmul_precision("highest")
+            seg = build_segmenter(model, params, mcfg, spec,
                                   template_set=cfg.eval.template_set)
             ds = SegEvalDataset(spec, args.eval_data_root)
             # loop.py calls eval_fn on host 0 only, so the sharded path is
             # single-process here: batch over host 0's local devices
             # (and/or several images per device, eval.images_per_device).
-            if jax.process_count() == 1 and (
-                    jax.local_device_count() > 1
-                    or cfg.eval.images_per_device > 1):
-                from segclip_tpu.evalseg.inference import \
-                    evaluate_dataset_sharded
-                return evaluate_dataset_sharded(
-                    seg, ds, logger=logger,
-                    images_per_device=cfg.eval.images_per_device)["mIoU"]
-            return evaluate_dataset(seg, ds, logger=logger)["mIoU"]
+            with prec_ctx:
+                if jax.process_count() == 1 and (
+                        jax.local_device_count() > 1
+                        or cfg.eval.images_per_device > 1):
+                    from segclip_tpu.evalseg.inference import \
+                        evaluate_dataset_sharded
+                    return evaluate_dataset_sharded(
+                        seg, ds, logger=logger,
+                        images_per_device=cfg.eval.images_per_device)["mIoU"]
+                return evaluate_dataset(seg, ds, logger=logger)["mIoU"]
 
     from segclip_tpu.train.loop import train
     from segclip_tpu.utils.profiling import trace_if

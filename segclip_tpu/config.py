@@ -234,8 +234,18 @@ class EvalConfig:
     # but 6.3% of pixels argmax-flip under the bf16 vmapped-dot tiling
     # (mIoU +0.30, a wash) — results would depend on the batching factor,
     # so the reproducible sequential path stays default (docs/PERF.md
-    # "Zero-shot seg inference"). Bit-identical at f32 compute.
+    # "Zero-shot seg inference"). Invariant under compute_dtype=float32
+    # below (flips < 1e-6, measured).
     images_per_device: int = 1
+    # Compute dtype for the in-training zero-shot eval encode. None = the
+    # training model's compute_dtype (bf16 by default). "float32" is the
+    # reference's eval precision (amp_opt_level O0,
+    # seg_segmentation/default.yml:2 + main_seg_zeroshot.py:179); it also
+    # scopes 'highest' matmul precision over the eval graphs, making
+    # predictions invariant to images_per_device batching (flips < 1e-6 —
+    # f32 storage alone is NOT enough, the TPU lowers f32 dots to bf16
+    # multiplies; docs/PERF.md "Deterministic eval mode").
+    compute_dtype: Optional[str] = None
 
 
 @dataclass(frozen=True)

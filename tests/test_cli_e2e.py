@@ -67,6 +67,26 @@ def test_eval_zeroshot_cli_end_to_end(tmp_path, capsys):
     assert payload["dataset"] == "voc"
 
 
+def test_eval_zeroshot_cli_deterministic_mode(tmp_path, capsys):
+    """--compute-dtype float32 (the reference's amp-O0 eval precision +
+    'highest' matmul scope) through main(): the flag must reach the model
+    config (visible in the config.json snapshot) and the batched path must
+    produce valid metrics (docs/PERF.md 'Deterministic eval mode')."""
+    from segclip_tpu.cli.eval_zeroshot import main
+    root = _make_voc(tmp_path)
+    out = tmp_path / "out"
+    results = main(["--dataset", "voc", "--data-root", str(root),
+                    "--compute-dtype", "float32",
+                    "--images-per-device", "2",
+                    "--output-dir", str(out),
+                    "--opts"] + TINY_EVAL_OPTS)
+    assert 0.0 <= results["mIoU"] <= 100.0
+    snap = json.loads((out / "config.json").read_text())
+    assert snap["model"]["compute_dtype"] == "float32"
+    assert snap["images_per_device"] == 2
+    capsys.readouterr()
+
+
 def test_demo_cli_dataset_mode(tmp_path):
     from segclip_tpu.cli.demo import main
     root = _make_voc(tmp_path)

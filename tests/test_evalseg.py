@@ -269,3 +269,35 @@ def test_keep_ratio_resize_matches_cv2_oracle():
     # and PIL genuinely differs — the parity risk this guards against
     pil = np.asarray(img.resize((new_w, new_h), Image.BILINEAR))
     assert np.abs(pil.astype(int) - want.astype(int)).max() > 0
+
+
+def test_eval_dtype_clone_shares_params():
+    """The eval-precision knob (EvalConfig.compute_dtype / eval CLI
+    --compute-dtype) rebuilds the flax module at a different compute dtype
+    around UNCHANGED params — the reference evals at fp32 regardless of
+    training precision (amp O0 default, main_seg_zeroshot.py:179). A clone
+    of a bf16-configured model at float32 must predict identically to a
+    model constructed float32 from scratch with the same params."""
+    import dataclasses
+    from segclip_tpu.models.segclip import SegCLIP
+
+    cfg_bf16 = dataclasses.replace(TINY, compute_dtype="bfloat16")
+    model_b, params = init_segclip(cfg_bf16, seed=0)
+    clone_cfg = dataclasses.replace(cfg_bf16, compute_dtype="float32")
+    clone = SegCLIP(clone_cfg)
+    direct = SegCLIP(dataclasses.replace(TINY, compute_dtype="float32"))
+
+    img = jnp.asarray(RNG.normal(size=(1, 32, 32, 3)).astype(np.float32))
+    enc = lambda m, im: m.encode_image(im, training=False)
+    out_clone = clone.apply({"params": params}, img, method=enc)
+    out_direct = direct.apply({"params": params}, img, method=enc)
+    np.testing.assert_array_equal(np.asarray(out_clone.pooled),
+                                  np.asarray(out_direct.pooled))
+    np.testing.assert_array_equal(np.asarray(out_clone.mid["soft_attn"]),
+                                  np.asarray(out_direct.mid["soft_attn"]))
+    # and the clone really is a different precision than its bf16 source
+    out_b = model_b.apply({"params": params}, img, method=enc)
+    assert np.asarray(out_b.pooled).dtype == jnp.bfloat16
+    assert np.asarray(out_clone.pooled).dtype == np.float32
+    assert not np.array_equal(np.asarray(out_b.mid["soft_attn"]),
+                              np.asarray(out_clone.mid["soft_attn"]))
