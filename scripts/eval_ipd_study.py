@@ -87,6 +87,12 @@ def main():
                     help="model.compute_dtype for the eval encode — float32 "
                          "is the reference's eval precision (amp O0, "
                          "seg_segmentation/default.yml:2)")
+    ap.add_argument("--matmul-precision", default=None,
+                    choices=["default", "highest"],
+                    help="TPU dot precision for the study graphs, mirroring "
+                         "eval_zeroshot: defaults to 'highest' at --dtype "
+                         "float32 (the deterministic mode PERF.md's table "
+                         "measured), else 'default'")
     args = ap.parse_args()
 
     from segclip_tpu.utils.jax_setup import setup_jax
@@ -102,16 +108,24 @@ def main():
                       compute_dtype=args.dtype)
     model, params, cfg = load_model(args.ckpt, cfg)
     spec = DATASET_SPECS[args.dataset]
-    segmenter = build_segmenter(model, params, cfg, spec)
+    precision = args.matmul_precision or (
+        "highest" if args.dtype == "float32" else "default")
+    import contextlib
+    import jax
+    prec_ctx = (jax.default_matmul_precision("highest")
+                if precision == "highest" else contextlib.nullcontext())
     dataset = SegEvalDataset(spec, args.data_root, limit=args.limit)
     mesh = make_mesh()
-    print(f"{len(dataset)} images, ipd comparison 1 vs {args.ipd}")
+    print(f"{len(dataset)} images, ipd comparison 1 vs {args.ipd} "
+          f"(dtype={args.dtype}, matmul={precision})")
 
-    # pass 1 compiles, pass 2 is the timed steady state; preds identical
-    collect_sequential(segmenter, dataset)
-    preds_seq, dt_seq = collect_sequential(segmenter, dataset)
-    collect_batched(segmenter, dataset, mesh, args.ipd)
-    preds_b, dt_b = collect_batched(segmenter, dataset, mesh, args.ipd)
+    with prec_ctx:
+        segmenter = build_segmenter(model, params, cfg, spec)
+        # pass 1 compiles, pass 2 is the timed steady state; preds identical
+        collect_sequential(segmenter, dataset)
+        preds_seq, dt_seq = collect_sequential(segmenter, dataset)
+        collect_batched(segmenter, dataset, mesh, args.ipd)
+        preds_b, dt_b = collect_batched(segmenter, dataset, mesh, args.ipd)
 
     r_seq = miou_of(preds_seq, dataset, segmenter.num_classes)
     r_b = miou_of(preds_b, dataset, segmenter.num_classes)

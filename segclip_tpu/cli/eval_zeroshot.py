@@ -110,9 +110,6 @@ def main(argv=None):
                 len(spec.classes),
                 spec.bg_thresh if args.bg_thresh is None else args.bg_thresh)
 
-    segmenter = build_segmenter(model, params, cfg, spec,
-                                template_set=args.template,
-                                bg_thresh=args.bg_thresh)
     dataset = SegEvalDataset(spec, args.data_root, limit=args.limit)
     logger.info("evaluating %d images", len(dataset))
 
@@ -120,12 +117,21 @@ def main(argv=None):
                    or (args.sharded == "auto"
                        and (jax.local_device_count() > 1
                             or jax.process_count() > 1)))
+    # Precision keys off the RESOLVED compute dtype (after --opts merging),
+    # so `--opts model.compute_dtype=float32` gets the same deterministic
+    # 6-pass dots as --compute-dtype float32. The text-bank encode in
+    # build_segmenter runs INSIDE the scope — class-embedding dots at
+    # default precision would silently stay bf16 multiplies even at f32
+    # storage (docs/PERF.md "Deterministic eval mode").
     precision = args.matmul_precision or (
-        "highest" if args.compute_dtype == "float32" else "default")
+        "highest" if cfg.compute_dtype == "float32" else "default")
     import contextlib
     prec_ctx = (jax.default_matmul_precision("highest")
                 if precision == "highest" else contextlib.nullcontext())
     with prec_ctx:
+        segmenter = build_segmenter(model, params, cfg, spec,
+                                    template_set=args.template,
+                                    bg_thresh=args.bg_thresh)
         if use_sharded:
             from segclip_tpu.evalseg.inference import evaluate_dataset_sharded
             results = evaluate_dataset_sharded(

@@ -136,13 +136,16 @@ def main(argv=None):
                 model = SegCLIP(mcfg)
                 if cfg.eval.compute_dtype == "float32":
                     prec_ctx = jax.default_matmul_precision("highest")
-            seg = build_segmenter(model, params, mcfg, spec,
-                                  template_set=cfg.eval.template_set)
             ds = SegEvalDataset(spec, args.eval_data_root)
             # loop.py calls eval_fn on host 0 only, so the sharded path is
             # single-process here: batch over host 0's local devices
             # (and/or several images per device, eval.images_per_device).
+            # build_segmenter runs INSIDE the precision scope so the text
+            # bank's class-embedding dots get the deterministic 6-pass
+            # lowering too (docs/PERF.md "Deterministic eval mode").
             with prec_ctx:
+                seg = build_segmenter(model, params, mcfg, spec,
+                                      template_set=cfg.eval.template_set)
                 if jax.process_count() == 1 and (
                         jax.local_device_count() > 1
                         or cfg.eval.images_per_device > 1):

@@ -9,6 +9,8 @@ import numpy as np
 import pytest
 from PIL import Image
 
+pytestmark = pytest.mark.slow
+
 TINY_OPTS = [
     "model.vision_width=64", "model.vision_layers=4",
     "model.first_stage_layer=3", "model.group_num=4", "model.cross_layer=1",

@@ -12,6 +12,7 @@ change), regenerate with:  python tests/test_training_drift.py
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from segclip_tpu.config import Config, ModelConfig, OptimConfig
 from segclip_tpu.models.segclip import init_segclip
@@ -70,6 +71,7 @@ def run_trajectory(n_steps: int = 12):
     return losses
 
 
+@pytest.mark.slow
 def test_training_trajectory_matches_golden():
     losses = run_trajectory()
     np.testing.assert_allclose(losses, GOLDEN_LOSSES, rtol=5e-4,
