@@ -399,6 +399,18 @@ def evaluate_dataset_sharded(segmenter: ZeroShotSegmenter, dataset,
     if n_images == 1 and n_proc == 1:
         return evaluate_dataset(segmenter, dataset, log_every, logger)
 
+    if n_proc > 1:
+        # Establish the cross-process communicator BEFORE the per-image
+        # loop: the final accumulator allgather below would otherwise be
+        # this run's first cross-process collective, reached after minutes
+        # of per-host eval work whose skew (different shape buckets →
+        # different compiles) can exceed the communicator rendezvous's
+        # hard 30 s deadline (parallel/mesh.warmup_collectives has the
+        # full story). Same primitive as the final reduce, so the exact
+        # clique it needs is the one warmed.
+        from jax.experimental import multihost_utils
+        multihost_utils.process_allgather(np.zeros((1,), np.float32))
+
     meter = MIoUMeter(segmenter.num_classes,
                       ignore_index=dataset.spec.ignore_index)
     n_done = 0

@@ -29,6 +29,37 @@ def make_mesh(n_data: int = -1,
     return Mesh(np.array(devices[:n_data]), (DATA_AXIS,))
 
 
+def warmup_collectives(mesh: Mesh) -> None:
+    """Establish the cross-process communicators with one tiny all-reduce
+    over every device of `mesh` — run this while all hosts are still in
+    LOCKSTEP (right after bring-up, before decode workers / eval / any
+    rank-skewed host work).
+
+    Why: communicator (gloo context) creation runs a key-value rendezvous
+    with a hard-coded 30 s deadline (gloo::rendezvous::Store::
+    kDefaultTimeout, compiled into jaxlib — not configurable from Python),
+    so if one rank reaches the run's FIRST collective >30 s after another
+    (slow decode-worker spawn, a long compile, rank-0 eval), the whole job
+    dies with "Gloo context initialization failed: DEADLINE_EXCEEDED".
+    Once the context exists, collectives WAIT instead: a measured 60 s
+    rank skew on an established context completed fine on the same gloo
+    backend. TPU pods don't use gloo, but the call is harmless there (one
+    scalar psum) and keeps one code path. See docs/PERF.md "Multi-host
+    timeouts"."""
+    if jax.process_count() == 1:
+        return
+    import jax.numpy as jnp
+    sharding = NamedSharding(mesh, P(mesh.axis_names))
+    n = int(mesh.devices.size)
+    arr = jax.make_array_from_callback(
+        (n,), sharding, lambda idx: np.ones((1,), np.float32))
+    total = jax.jit(jnp.sum, out_shardings=NamedSharding(mesh, P()))(arr)
+    got = float(total)                       # host fetch forces execution
+    if got != n:
+        raise RuntimeError(
+            f"collective warmup over {n} devices summed to {got}")
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 

@@ -147,6 +147,15 @@ def train(cfg: Config, init_model: Optional[str] = None,
     if cfg.train.epochs_per_run > 0:
         end_epoch = min(end_epoch, start_epoch + cfg.train.epochs_per_run)
 
+    # Establish cross-process communicators NOW, while every host is still
+    # at the same point — the first collective pays a rendezvous with a
+    # hard 30 s deadline (gloo), and the first train step would otherwise
+    # be it, behind per-host decode-worker spawn / first-batch decode skew
+    # (parallel/mesh.warmup_collectives; docs/PERF.md "Multi-host
+    # timeouts").
+    from segclip_tpu.parallel.mesh import warmup_collectives
+    warmup_collectives(mesh)
+
     ckpts = []
     try:
         result = _run_epochs(

@@ -28,6 +28,26 @@ def maybe_initialize_distributed(coordinator: str | None = None,
     if process_id is None and "SEGCLIP_DIST_PROCID" in os.environ:
         process_id = int(os.environ["SEGCLIP_DIST_PROCID"])
 
+    # Coordination-service deadlines, all overridable by env (seconds):
+    #   SEGCLIP_DIST_INIT_TIMEOUT       all processes must connect (300)
+    #   SEGCLIP_DIST_HEARTBEAT_TIMEOUT  missed-heartbeat kill — raise it on
+    #                                   hosts where a rank can stall whole-
+    #                                   process (GC pause, swap) (100)
+    #   SEGCLIP_DIST_SHUTDOWN_TIMEOUT   exit barrier (300)
+    # These cover the coordinator protocol only; COLLECTIVE skew (one rank
+    # reaching a barrier late, e.g. non-zero hosts waiting at the eval
+    # broadcast while host 0 evals, train/loop.py) is handled by
+    # parallel/mesh.warmup_collectives — the communicator rendezvous has a
+    # hard 30 s deadline compiled into gloo, but an ESTABLISHED
+    # communicator waits without one (measured; docs/PERF.md "Multi-host
+    # timeouts").
+    timeouts = dict(
+        initialization_timeout=int(
+            os.environ.get("SEGCLIP_DIST_INIT_TIMEOUT", 300)),
+        heartbeat_timeout_seconds=int(
+            os.environ.get("SEGCLIP_DIST_HEARTBEAT_TIMEOUT", 100)),
+        shutdown_timeout_seconds=int(
+            os.environ.get("SEGCLIP_DIST_SHUTDOWN_TIMEOUT", 300)))
     if coordinator:
         try:
             jax.config.update("jax_cpu_collectives_implementation", "gloo")
@@ -35,10 +55,10 @@ def maybe_initialize_distributed(coordinator: str | None = None,
             pass                      # non-CPU backends don't need it
         jax.distributed.initialize(coordinator_address=coordinator,
                                    num_processes=num_processes,
-                                   process_id=process_id)
+                                   process_id=process_id, **timeouts)
         return True
     if os.environ.get("SEGCLIP_DIST") == "1":
-        jax.distributed.initialize()   # auto-detect (TPU pod / SLURM)
+        jax.distributed.initialize(**timeouts)  # auto-detect (TPU pod/SLURM)
         return True
     return False
 
