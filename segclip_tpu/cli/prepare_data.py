@@ -373,18 +373,34 @@ def cmd_coco_gt(args):
 def cmd_shapes(args):
     """Generate the procedural captioned-shapes corpus (data/procgen.py):
     a learnable-from-scratch pretraining corpus + VOC-layout eval split
-    with exact GT masks, for proving the full pipeline learns."""
-    from segclip_tpu.data.procgen import write_eval_split, write_train_corpus
+    with exact GT masks, for proving the full pipeline learns. --holdout
+    additionally excludes fixed color×shape compositions from every
+    training image/caption and writes a per-pair probe split — the
+    open-vocabulary generalization experiment (docs/PERF.md)."""
+    from segclip_tpu.data.procgen import (HOLDOUT_PAIRS_DEFAULT,
+                                          write_eval_split,
+                                          write_pair_eval_split,
+                                          write_train_corpus)
     logger = get_logger()
+    holdout = None
+    if args.holdout is not None:       # `--holdout` with no values = default
+        holdout = (HOLDOUT_PAIRS_DEFAULT if not args.holdout
+                   else [tuple(p.split(":")) for p in args.holdout])
+        logger.info("holding out pairs: %s", holdout)
     write_train_corpus(args.out_dir, args.train_n, seed=args.seed,
                        superpixels=not args.no_superpixels,
-                       captions=args.captions)
+                       captions=args.captions, holdout_pairs=holdout)
     logger.info("train corpus: %d scenes → %s/shapes_*.sgr",
                 args.train_n, args.out_dir)
     eval_dir = os.path.join(args.out_dir, "eval")
     write_eval_split(eval_dir, args.eval_n)
     logger.info("eval split: %d scenes → %s (VOC layout, --dataset shapes)",
                 args.eval_n, eval_dir)
+    if args.holdout is not None or args.pair_eval_n:
+        pair_dir = os.path.join(args.out_dir, "pair_eval")
+        write_pair_eval_split(pair_dir, n_per_pair=args.pair_eval_n or 6)
+        logger.info("pair probe split: %d imgs/pair → %s",
+                    args.pair_eval_n or 6, pair_dir)
 
 
 def main(argv=None):
@@ -458,6 +474,16 @@ def main(argv=None):
                         "color-statistics shortcut that never grounds "
                         "shape names, plain-only learns slowly from "
                         "duplicate false-negatives (data/procgen.py)")
+    p.add_argument("--holdout", nargs="*", default=None, metavar="COLOR:SHAPE",
+                   help="exclude color×shape compositions from every "
+                        "training image AND caption (open-vocabulary "
+                        "generalization split). No values = the default "
+                        "trio (procgen.HOLDOUT_PAIRS_DEFAULT); or list "
+                        "pairs like red:triangle. Also writes the "
+                        "pair_eval/ probe split + holdout.json manifest")
+    p.add_argument("--pair-eval-n", type=int, default=None,
+                   help="images per (color, shape) pair in the pair_eval "
+                        "probe split (default 6 when --holdout is set)")
     p.set_defaults(fn=cmd_shapes)
 
     p = sub.add_parser("coco-gt")

@@ -60,6 +60,17 @@ CAPTION_TEMPLATES = (
     "a picture showing {}.",
 )
 
+# Default held-out color×shape compositions for the OPEN-vocabulary proof
+# (the capability the reference claims: class names chosen at EVAL time,
+# reference README.md:3-5 — the text bank is built from arbitrary names at
+# seg_segmentation/evaluation/builder.py:46-79).  With --holdout these
+# pairs appear in NO training image or caption; zero-shot eval then asks
+# whether grounding TRANSFERS to them — from scratch, held-out *words* are
+# untestable (no pretrained language prior), but held-out *compositions*
+# of seen words are.
+HOLDOUT_PAIRS_DEFAULT = (("red", "triangle"), ("blue", "heart"),
+                         ("green", "square"))
+
 
 def _shape_polygon(kind: str, cx: float, cy: float, r: float,
                    angle: float) -> List[Tuple[float, float]]:
@@ -130,6 +141,7 @@ def _background(rng: np.random.Generator, w: int, h: int) -> np.ndarray:
 def _scene_with_captions(
     rng: np.random.Generator, size: Tuple[int, int] = (224, 224),
     max_shapes: int = 3,
+    holdout_pairs: Optional[frozenset] = None,
 ) -> Tuple[np.ndarray, np.ndarray, str, str]:
     """One composite scene → (image, mask, caption_color, caption_plain).
 
@@ -158,6 +170,18 @@ def _scene_with_captions(
     for _ in range(n):
         kind = SHAPE_CLASSES[rng.integers(len(SHAPE_CLASSES))]
         color_name = list(COLORS)[rng.integers(len(COLORS))]
+        # Held-out compositions are excluded from the IMAGE as well as the
+        # caption: resample the color (shape marginals stay uniform) until
+        # the pair is allowed. With ≤3 of 8 colors held out per shape this
+        # terminates fast; the guard below keeps it total regardless.
+        if holdout_pairs:
+            for _retry in range(64):
+                if (color_name, kind) not in holdout_pairs:
+                    break
+                color_name = list(COLORS)[rng.integers(len(COLORS))]
+            else:
+                raise ValueError(
+                    f"holdout excludes every color for shape {kind!r}")
         base = np.array(COLORS[color_name], np.int32)
         jitter = rng.integers(-18, 19, size=3)
         color = tuple(int(c) for c in np.clip(base + jitter, 0, 255))
@@ -180,7 +204,7 @@ def _scene_with_captions(
         plain_parts.append(f"a {kind}")
 
     if not parts:                         # degenerate: empty scene
-        return _scene_with_captions(rng, size, max_shapes)
+        return _scene_with_captions(rng, size, max_shapes, holdout_pairs)
 
     def join(ps):
         return ps[0] if len(ps) == 1 else (
@@ -207,13 +231,20 @@ def write_train_corpus(out_dir: str, n_images: int, name: str = "shapes",
                        min_side: int = 224, max_side: int = 288,
                        log_every: int = 2000,
                        superpixels: bool = True,
-                       captions: str = "both") -> str:
+                       captions: str = "both",
+                       holdout_pairs=None) -> str:
     """Pack a training corpus: <name>_{images,captions,seg}.sgr.
 
     captions: "color" | "plain" | "both" — caption styles written per
     image ("both" packs two samples per image, the COCO multi-caption
     pattern; see _scene_with_captions for why it matters). The image/seg
     shards are byte-identical across all three modes (same rng stream).
+
+    holdout_pairs: iterable of (color, shape) pairs to EXCLUDE from every
+    training image and caption (the open-vocabulary compositional-
+    generalization split — see HOLDOUT_PAIRS_DEFAULT). A `holdout.json`
+    manifest is written next to the shards so eval tooling knows the
+    split.
 
     Superpixels come from the REAL Felzenszwalb path (scale=224 sigma=0.9
     min_size=224 — the reference's extraction settings), not from the GT
@@ -225,6 +256,11 @@ def write_train_corpus(out_dir: str, n_images: int, name: str = "shapes",
     from segclip_tpu.utils.logging import get_logger
     logger = get_logger()
     os.makedirs(out_dir, exist_ok=True)
+    holdout = frozenset(tuple(p) for p in holdout_pairs) \
+        if holdout_pairs else None
+    if holdout:
+        with open(os.path.join(out_dir, "holdout.json"), "w") as f:
+            json.dump({"holdout_pairs": sorted(holdout)}, f, indent=2)
     rng = np.random.default_rng(seed)
     wi = SgrWriter(os.path.join(out_dir, f"{name}_images.sgr"))
     wc = SgrWriter(os.path.join(out_dir, f"{name}_captions.sgr"))
@@ -233,7 +269,8 @@ def write_train_corpus(out_dir: str, n_images: int, name: str = "shapes",
     for i in range(n_images):
         w = int(rng.integers(min_side, max_side + 1))
         h = int(rng.integers(min_side, max_side + 1))
-        img, _, cap_color, cap_plain = _scene_with_captions(rng, (w, h))
+        img, _, cap_color, cap_plain = _scene_with_captions(
+            rng, (w, h), holdout_pairs=holdout)
         caps = {"color": [cap_color], "plain": [cap_plain],
                 "both": [cap_color, cap_plain]}[captions]
         buf = io.BytesIO()
@@ -250,6 +287,72 @@ def write_train_corpus(out_dir: str, n_images: int, name: str = "shapes",
     wc.close()
     if ws is not None:
         ws.close()
+    return out_dir
+
+
+def _forced_scene(rng: np.random.Generator, size: Tuple[int, int],
+                  kind: str, color_name: str
+                  ) -> Tuple[np.ndarray, np.ndarray]:
+    """One scene containing exactly ONE shape of a forced (color, shape)
+    pair — the probe unit of the compositional-generalization eval
+    (write_pair_eval_split). Same background / jitter / size / rotation
+    distributions as the training generator."""
+    w, h = size
+    img = Image.fromarray(_background(rng, w, h))
+    mask = Image.new("L", (w, h), 0)
+    draw, mdraw = ImageDraw.Draw(img), ImageDraw.Draw(mask)
+    base = np.array(COLORS[color_name], np.int32)
+    jitter = rng.integers(-18, 19, size=3)
+    color = tuple(int(c) for c in np.clip(base + jitter, 0, 255))
+    r_min, r_max = 0.12 * min(w, h), 0.24 * min(w, h)
+    r = float(rng.uniform(r_min, r_max))
+    cx = float(rng.uniform(r + 2, w - r - 2))
+    cy = float(rng.uniform(r + 2, h - r - 2))
+    angle = float(rng.uniform(0, 2 * math.pi))
+    _draw_shape(draw, mdraw, kind, cx, cy, r, angle, color,
+                1 + SHAPE_CLASSES.index(kind))
+    return np.asarray(img), np.asarray(mask, np.int32)
+
+
+def write_pair_eval_split(out_dir: str, n_per_pair: int = 6,
+                          seed: int = 77_000,
+                          min_side: int = 224, max_side: int = 288) -> str:
+    """Compositional-generalization probe set: for EVERY (color, shape)
+    pair, `n_per_pair` single-shape scenes of exactly that pair, in VOC
+    layout (readable by the unchanged SegEvalDataset / --dataset shapes)
+    plus a `pairs.json` manifest mapping image name → {color, shape}.
+
+    Analysis (scripts/holdout_study.py) splits per-class IoU by whether an
+    image's pair was held out of training — the open-vocabulary evidence
+    the reference claims but never isolates (class names are chosen at
+    eval time, builder.py:46-79) — and re-evaluates the same images under
+    attribute-COMPOSED queries ("red triangle") via the standard text-bank
+    machinery. Seed range is disjoint from both the train corpus and the
+    standard eval split."""
+    img_dir = os.path.join(out_dir, "JPEGImages")
+    ann_dir = os.path.join(out_dir, "SegmentationClass")
+    split_dir = os.path.join(out_dir, "ImageSets", "Segmentation")
+    for d in (img_dir, ann_dir, split_dir):
+        os.makedirs(d, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    names, manifest = [], {}
+    for kind in SHAPE_CLASSES:
+        for color_name in COLORS:
+            for j in range(n_per_pair):
+                w = int(rng.integers(min_side, max_side + 1))
+                h = int(rng.integers(min_side, max_side + 1))
+                img, mask = _forced_scene(rng, (w, h), kind, color_name)
+                name = f"p_{color_name}_{kind}_{j:03d}"
+                Image.fromarray(img).save(
+                    os.path.join(img_dir, name + ".jpg"), quality=95)
+                Image.fromarray(mask.astype(np.uint8)).save(
+                    os.path.join(ann_dir, name + ".png"))
+                names.append(name)
+                manifest[name] = {"color": color_name, "shape": kind}
+    with open(os.path.join(split_dir, "val.txt"), "w") as f:
+        f.write("\n".join(names) + "\n")
+    with open(os.path.join(out_dir, "pairs.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
     return out_dir
 
 

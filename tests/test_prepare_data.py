@@ -156,3 +156,58 @@ def test_pack_pickle_migrates_reference_artifacts(tmp_path):
     assert ri.get(b"c.jpg") == imgs2["c.jpg"]        # first pickle wins
     assert json.loads(rc.get(b"a.jpg")) == ["a cat"]
     assert json.loads(rc.get(b"b.jpg")) == ["two", "captions"]
+
+
+def test_shapes_holdout_excludes_pairs_and_writes_probe_split(tmp_path):
+    """`prepare_data shapes --holdout`: held-out color×shape compositions
+    appear in NO training caption (and, by the same resampling, no image),
+    the manifests are written, and the pair probe split covers every pair
+    exactly n_per_pair times with correct GT class ids + pairs.json
+    (the open-vocabulary generalization harness, data/procgen.py)."""
+    import json as _json
+
+    from PIL import Image
+    from segclip_tpu.cli import prepare_data
+    from segclip_tpu.data.procgen import (COLORS, HOLDOUT_PAIRS_DEFAULT,
+                                          SHAPE_CLASSES)
+
+    out = tmp_path / "corpus"
+    prepare_data.main([
+        "shapes", "--out-dir", str(out), "--train-n", "40",
+        "--eval-n", "2", "--no-superpixels", "--holdout",
+        "--pair-eval-n", "1"])
+
+    # manifest records the default trio
+    held = {tuple(p) for p in _json.loads(
+        (out / "holdout.json").read_text())["holdout_pairs"]}
+    assert held == set(HOLDOUT_PAIRS_DEFAULT)
+
+    # no training caption mentions a held-out composition; the color-mode
+    # caption names every drawn shape with its color, so caption-level
+    # absence implies image-level absence (same resampled stream draws
+    # both, data/procgen._scene_with_captions)
+    rc = SgrReader(str(out / "shapes_captions.sgr"))
+    caps = [c for k in rc.keys() for c in json.loads(rc.get(k))]
+    assert len(caps) == 80                     # both-captions: 2 per image
+    for color, shape in held:
+        assert not any(f"{color} {shape}" in c for c in caps), (color, shape)
+    # ...while the held-out SHAPES still occur (in other colors) — the
+    # resampler replaces the color, not the shape
+    for _, shape in held:
+        assert any(shape in c for c in caps), shape
+
+    # probe split: every pair exactly once, GT ids match the shape class,
+    # manifest complete
+    pair_root = out / "pair_eval"
+    pairs = _json.loads((pair_root / "pairs.json").read_text())
+    assert len(pairs) == len(COLORS) * len(SHAPE_CLASSES)
+    covered = {(p["color"], p["shape"]) for p in pairs.values()}
+    assert covered == {(c, s) for c in COLORS for s in SHAPE_CLASSES}
+    names = (pair_root / "ImageSets/Segmentation/val.txt"
+             ).read_text().split()
+    assert sorted(names) == sorted(pairs)
+    probe = names[0]
+    mask = np.asarray(Image.open(
+        pair_root / "SegmentationClass" / f"{probe}.png"))
+    want_id = 1 + SHAPE_CLASSES.index(pairs[probe]["shape"])
+    assert set(np.unique(mask)) == {0, want_id}
