@@ -21,9 +21,14 @@ def _abs(path: str) -> str:
 
 
 def save_checkpoint(output_dir: str, epoch: int, state: Any,
-                    max_kept: int = -1) -> str:
-    """Save TrainState under <output_dir>/ckpt_epoch_<epoch>."""
-    path = os.path.join(_abs(output_dir), f"ckpt_epoch_{epoch}")
+                    max_kept: int = -1, name: Optional[str] = None) -> str:
+    """Save TrainState under <output_dir>/<name or ckpt_epoch_<epoch>>.
+
+    `name` overrides the directory name (e.g. "ckpt_best" for
+    train.keep_best — kept outside the ckpt_epoch_* namespace so
+    auto-resume and GC never touch it); the payload's epoch field still
+    records which epoch produced it."""
+    path = os.path.join(_abs(output_dir), name or f"ckpt_epoch_{epoch}")
     ckptr = ocp.StandardCheckpointer()
     # epoch is a host scalar — keep it numpy: a host-local jax.Array can't
     # be serialized from a multi-host process (orbax rejects it), while

@@ -220,6 +220,16 @@ class TrainConfig:
     # inserted collectives. Not needed at ViT-B scale; for larger widths.
     tensor_parallelism: int = 1
     eval_each_epoch: bool = True
+    # Retain the highest-mIoU per-epoch checkpoint as <output_dir>/ckpt_best
+    # (+ best.json with {epoch, miou}). The reference keeps every epoch and
+    # leaves the pick to the user (main_task_align.py:258-274); our own
+    # grounding runs showed the final checkpoint can sit several mIoU below
+    # the peak (docs/PERF.md "Learning the shapes corpus"), so the framework
+    # tracks the peak itself. Needs eval_each_epoch + an eval_fn; the best
+    # value persists across epochs_per_run resume segments via best.json,
+    # and the save is a multi-host collective gated on the broadcast mIoU
+    # (identical decision on every host).
+    keep_best: bool = False
 
 
 @dataclass(frozen=True)

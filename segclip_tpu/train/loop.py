@@ -173,11 +173,38 @@ def train(cfg: Config, init_model: Optional[str] = None,
             "state": result["state"], "model": model}
 
 
+def _read_best(output_dir: str) -> dict:
+    """{'miou': float, 'epoch': int} from <output_dir>/best.json, or the
+    sentinel — persists keep_best's running maximum across epochs_per_run
+    resume segments."""
+    import json
+    path = os.path.join(output_dir, "best.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    return {"miou": -1.0, "epoch": -1}
+
+
 def _run_epochs(cfg, epochs, loader, step_fn, state, model, mesh,
                 steps_per_epoch, t_total, n_hosts, host, eval_fn, logger,
                 metrics_writer, ckpts, eval_fetch: bool = False,
                 pack_spec=None) -> dict:
     final_loss = float("nan")
+    keep_best = cfg.train.keep_best
+    if keep_best and not (eval_fn is not None and cfg.train.eval_each_epoch):
+        logger.warning("train.keep_best needs eval_each_epoch + an eval "
+                       "dataset — ignoring it")
+        keep_best = False
+    best = -1.0
+    if keep_best:
+        # host 0 owns best.json; the value is broadcast so every host takes
+        # the identical save-or-not branch below (Orbax save is collective)
+        best = float(_read_best(cfg.train.output_dir)["miou"]) \
+            if host == 0 else -1.0
+        if n_hosts > 1:
+            from jax.experimental import multihost_utils
+            best = float(multihost_utils.broadcast_one_to_all(
+                np.asarray(best, np.float32)))
     # Track the global step host-side: fetching int(state.step) per step
     # would force a device sync every iteration, serializing dispatch on
     # tunneled backends. One sync here covers resume offsets.
@@ -267,5 +294,15 @@ def _run_epochs(cfg, epochs, loader, step_fn, state, model, mesh,
                 logger.info("Epoch %d zero-shot mIoU: %.2f", epoch + 1, miou)
                 if host == 0:
                     metrics_writer.write(gstep, epoch=epoch, miou=miou)
+                if keep_best and miou > best:
+                    best = miou
+                    path = save_checkpoint(cfg.train.output_dir, epoch,
+                                           state, name="ckpt_best")
+                    if host == 0:
+                        import json
+                        with open(os.path.join(cfg.train.output_dir,
+                                               "best.json"), "w") as f:
+                            json.dump({"miou": best, "epoch": epoch}, f)
+                        logger.info("new best mIoU %.2f → %s", best, path)
 
     return {"final_loss": final_loss, "state": state}

@@ -70,3 +70,54 @@ def test_coco_object_trainid_table():
     assert t[89] == 80          # last thing class
     assert t[90] == 0 and t[100] == 0 and t[255] == 0
     assert (t <= 80).all()
+
+
+def test_keep_best_tracks_peak_across_resume_segments(tmp_path):
+    """train.keep_best retains the highest-mIoU checkpoint as ckpt_best and
+    persists the running maximum across epochs_per_run resume segments
+    (best.json) — the framework-level answer to the measured grounding
+    peak-then-regress curves (docs/PERF.md): with a scripted eval sequence
+    10 -> 30 -> 20 over three single-epoch segments, ckpt_best must hold
+    epoch 1."""
+    import json
+    import os
+    from dataclasses import replace
+
+    from segclip_tpu.config import DataConfig, TrainConfig
+    from segclip_tpu.train.loop import train
+
+    tiny = replace(TINY, image_resolution=32, use_seglabel=True)
+    scripted = {0: 10.0, 1: 30.0, 2: 20.0}
+    seen = []
+
+    def eval_fn(model, params):
+        idx = len(seen)
+        seen.append(None)
+        return scripted[idx]
+
+    cfg = Config(
+        model=tiny, optim=OptimConfig(lr=1e-3, lower_lr=1e-3),
+        data=DataConfig(datatype="synthetic", batch_size=16, max_words=8),
+        train=TrainConfig(epochs=3, epochs_per_run=1, keep_best=True,
+                          eval_each_epoch=True, log_every=100,
+                          output_dir=str(tmp_path / "run")))
+    for seg in range(3):
+        train(cfg, resume=seg > 0, eval_fn=eval_fn)
+
+    out = tmp_path / "run"
+    assert (out / "ckpt_best").exists()
+    best = json.loads((out / "best.json").read_text())
+    assert best == {"miou": 30.0, "epoch": 1}
+    # the saved payload's own epoch field agrees (restorable evidence the
+    # directory holds the epoch-1 state, not merely a label)
+    import orbax.checkpoint as ocp
+    with ocp.PyTreeCheckpointer() as ptc:
+        restored = ptc.restore(
+            os.path.abspath(out / "ckpt_best"),
+            args=ocp.args.PyTreeRestore(
+                item={"epoch": np.asarray(0, np.int32)},
+                partial_restore=True))
+    assert int(restored["epoch"]) == 1
+    # epoch checkpoints are untouched by the best tracking (resume still
+    # picks the latest epoch, not the best)
+    assert auto_resume_path(str(out)).endswith("ckpt_epoch_2")

@@ -175,6 +175,9 @@ def test_two_process_cli_train_records_workers_eval(tmp_path):
         "model.mae_decoder_depth=1", "model.mae_decoder_num_heads=2",
         "model.compute_dtype=float32", "model.max_words=12",
         "data.max_words=12", "eval.dataset=shapes",
+        # keep_best through the multi-host path: the save must run as a
+        # collective on BOTH hosts gated on the broadcast mIoU
+        "train.keep_best=true",
     ]
     procs = []
     for pid in range(2):
@@ -215,6 +218,10 @@ def test_two_process_cli_train_records_workers_eval(tmp_path):
     # host 0 recorded the eval metric
     lines = [json.loads(l) for l in (out / "metrics.jsonl").open()]
     assert any("miou" in l for l in lines), lines
+    # keep_best saved collectively (first eval always beats the -1
+    # sentinel) and host 0 recorded it
+    assert (out / "ckpt_best").exists()
+    assert json.loads((out / "best.json").read_text())["epoch"] == 0
 
 
 def test_two_process_cli_train(tmp_path):
