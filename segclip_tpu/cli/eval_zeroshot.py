@@ -141,8 +141,16 @@ def main(argv=None):
             results = evaluate_dataset(segmenter, dataset, logger=logger)
     logger.info("mIoU=%.2f mAcc=%.2f aAcc=%.2f", results["mIoU"],
                 results["mAcc"], results["aAcc"])
+    # per-class IoU table (the reference's mmseg dataset.evaluate prints
+    # one, main_seg_zeroshot.py:156-161); absent classes log as None
+    per_class = results.get("per_class", {})
+    for name, iou in per_class.items():
+        logger.info("  IoU %-16s %s", name,
+                    "n/a" if iou is None else f"{iou:.2f}")
     print(json.dumps({"dataset": spec.name, "mIoU": results["mIoU"],
-                      "mAcc": results["mAcc"], "aAcc": results["aAcc"]}))
+                      "mAcc": results["mAcc"], "aAcc": results["aAcc"],
+                      "per_class": {k: (None if v is None else round(v, 2))
+                                    for k, v in per_class.items()}}))
     return results
 
 
