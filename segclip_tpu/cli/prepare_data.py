@@ -377,8 +377,8 @@ def cmd_shapes(args):
     additionally excludes fixed color×shape compositions from every
     training image/caption and writes a per-pair probe split — the
     open-vocabulary generalization experiment (docs/PERF.md)."""
-    from segclip_tpu.data.procgen import (HOLDOUT_PAIRS_DEFAULT,
-                                          write_eval_split,
+    from segclip_tpu.data.procgen import (COLORS, HOLDOUT_PAIRS_DEFAULT,
+                                          SHAPE_CLASSES, write_eval_split,
                                           write_pair_eval_split,
                                           write_train_corpus)
     logger = get_logger()
@@ -386,19 +386,28 @@ def cmd_shapes(args):
     if args.holdout is not None:       # `--holdout` with no values = default
         holdout = (HOLDOUT_PAIRS_DEFAULT if not args.holdout
                    else [tuple(p.split(":")) for p in args.holdout])
+        for pair in holdout:           # fail fast on malformed pairs
+            if (len(pair) != 2 or pair[0] not in COLORS
+                    or pair[1] not in SHAPE_CLASSES):
+                raise SystemExit(
+                    f"--holdout: bad pair {':'.join(pair)!r} — expected "
+                    f"COLOR:SHAPE with COLOR in {sorted(COLORS)} and "
+                    f"SHAPE in {list(SHAPE_CLASSES)}")
         logger.info("holding out pairs: %s", holdout)
     write_train_corpus(args.out_dir, args.train_n, seed=args.seed,
                        superpixels=not args.no_superpixels,
-                       captions=args.captions, holdout_pairs=holdout)
+                       captions=args.captions, holdout_pairs=holdout,
+                       equal_area=args.equal_area)
     logger.info("train corpus: %d scenes → %s/shapes_*.sgr",
                 args.train_n, args.out_dir)
     eval_dir = os.path.join(args.out_dir, "eval")
-    write_eval_split(eval_dir, args.eval_n)
+    write_eval_split(eval_dir, args.eval_n, equal_area=args.equal_area)
     logger.info("eval split: %d scenes → %s (VOC layout, --dataset shapes)",
                 args.eval_n, eval_dir)
     if args.holdout is not None or args.pair_eval_n:
         pair_dir = os.path.join(args.out_dir, "pair_eval")
-        write_pair_eval_split(pair_dir, n_per_pair=args.pair_eval_n or 6)
+        write_pair_eval_split(pair_dir, n_per_pair=args.pair_eval_n or 6,
+                              equal_area=args.equal_area)
         logger.info("pair probe split: %d imgs/pair → %s",
                     args.pair_eval_n or 6, pair_dir)
 
@@ -484,6 +493,12 @@ def main(argv=None):
     p.add_argument("--pair-eval-n", type=int, default=None,
                    help="images per (color, shape) pair in the pair_eval "
                         "probe split (default 6 when --holdout is set)")
+    p.add_argument("--equal-area", action="store_true",
+                   help="equalize expected pixel area across shape classes "
+                        "(per-shape circumradius multipliers). Removes the "
+                        "area confound in per-class grounding order — at a "
+                        "shared radius, square has 3x triangle's pixels "
+                        "(procgen._equal_area_multipliers; docs/PERF.md)")
     p.set_defaults(fn=cmd_shapes)
 
     p = sub.add_parser("coco-gt")

@@ -72,6 +72,36 @@ HOLDOUT_PAIRS_DEFAULT = (("red", "triangle"), ("blue", "heart"),
                          ("green", "square"))
 
 
+def _equal_area_multipliers() -> dict:
+    """Per-shape circumradius multipliers that equalize expected pixel AREA
+    across classes (target: the circle's πr²).
+
+    Why this exists (measured, docs/PERF.md "per-class grounding"): at a
+    shared circumradius the shapes differ >3× in area (square 4r², circle
+    πr², heart 1.94r², cross 2.46r², star 1.32r², triangle 1.30r²), and
+    from-scratch grounding follows that area ordering — the biggest class
+    gets the most patches, superpixel support, and gradient signal, so it
+    grounds first while the small thin shapes stay at 0 IoU.  `equal_area`
+    corpora remove that confound.  Default OFF: the original corpus and
+    every result measured on it stay reproducible."""
+    global _EQUAL_AREA_MULT
+    if _EQUAL_AREA_MULT is None:
+        mult = {"circle": 1.0}
+        for kind in SHAPE_CLASSES:
+            if kind == "circle":
+                continue
+            pts = _shape_polygon(kind, 0.0, 0.0, 1.0, 0.0)
+            area = abs(sum(x1 * y2 - x2 * y1
+                           for (x1, y1), (x2, y2)
+                           in zip(pts, pts[1:] + pts[:1]))) / 2.0
+            mult[kind] = math.sqrt(math.pi / area)
+        _EQUAL_AREA_MULT = mult
+    return _EQUAL_AREA_MULT
+
+
+_EQUAL_AREA_MULT: Optional[dict] = None
+
+
 def _shape_polygon(kind: str, cx: float, cy: float, r: float,
                    angle: float) -> List[Tuple[float, float]]:
     """Vertex list for the polygon shapes, rotated by `angle`."""
@@ -142,6 +172,7 @@ def _scene_with_captions(
     rng: np.random.Generator, size: Tuple[int, int] = (224, 224),
     max_shapes: int = 3,
     holdout_pairs: Optional[frozenset] = None,
+    equal_area: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray, str, str]:
     """One composite scene → (image, mask, caption_color, caption_plain).
 
@@ -186,9 +217,13 @@ def _scene_with_captions(
         jitter = rng.integers(-18, 19, size=3)
         color = tuple(int(c) for c in np.clip(base + jitter, 0, 255))
 
+        mult = (_equal_area_multipliers()[kind] if equal_area else 1.0)
         r_min, r_max = 0.12 * min(w, h), 0.24 * min(w, h)
         for _attempt in range(12):
-            r = float(rng.uniform(r_min, r_max))
+            # The multiplier scales the sampled circumradius (same rng
+            # draw sequence as the default corpus, so a seed generates the
+            # "same" scenes with area-equalized shapes).
+            r = float(rng.uniform(r_min, r_max)) * mult
             cx = float(rng.uniform(r + 2, w - r - 2))
             cy = float(rng.uniform(r + 2, h - r - 2))
             if all((cx - px) ** 2 + (cy - py) ** 2 > (r + pr) ** 2
@@ -204,7 +239,8 @@ def _scene_with_captions(
         plain_parts.append(f"a {kind}")
 
     if not parts:                         # degenerate: empty scene
-        return _scene_with_captions(rng, size, max_shapes, holdout_pairs)
+        return _scene_with_captions(rng, size, max_shapes, holdout_pairs,
+                                    equal_area)
 
     def join(ps):
         return ps[0] if len(ps) == 1 else (
@@ -219,10 +255,11 @@ def _scene_with_captions(
 def generate_scene(
     rng: np.random.Generator, size: Tuple[int, int] = (224, 224),
     max_shapes: int = 3, color_words: bool = True,
+    equal_area: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray, str]:
     """One scene → (image, mask, caption); see _scene_with_captions."""
-    img, mask, cap_color, cap_plain = _scene_with_captions(rng, size,
-                                                           max_shapes)
+    img, mask, cap_color, cap_plain = _scene_with_captions(
+        rng, size, max_shapes, equal_area=equal_area)
     return img, mask, cap_color if color_words else cap_plain
 
 
@@ -232,7 +269,8 @@ def write_train_corpus(out_dir: str, n_images: int, name: str = "shapes",
                        log_every: int = 2000,
                        superpixels: bool = True,
                        captions: str = "both",
-                       holdout_pairs=None) -> str:
+                       holdout_pairs=None,
+                       equal_area: bool = False) -> str:
     """Pack a training corpus: <name>_{images,captions,seg}.sgr.
 
     captions: "color" | "plain" | "both" — caption styles written per
@@ -261,6 +299,11 @@ def write_train_corpus(out_dir: str, n_images: int, name: str = "shapes",
     if holdout:
         with open(os.path.join(out_dir, "holdout.json"), "w") as f:
             json.dump({"holdout_pairs": sorted(holdout)}, f, indent=2)
+    with open(os.path.join(out_dir, "corpus.json"), "w") as f:
+        json.dump({"n_images": n_images, "seed": seed, "captions": captions,
+                   "equal_area": equal_area,
+                   "holdout_pairs": sorted(holdout) if holdout else None},
+                  f, indent=2)
     rng = np.random.default_rng(seed)
     wi = SgrWriter(os.path.join(out_dir, f"{name}_images.sgr"))
     wc = SgrWriter(os.path.join(out_dir, f"{name}_captions.sgr"))
@@ -270,7 +313,7 @@ def write_train_corpus(out_dir: str, n_images: int, name: str = "shapes",
         w = int(rng.integers(min_side, max_side + 1))
         h = int(rng.integers(min_side, max_side + 1))
         img, _, cap_color, cap_plain = _scene_with_captions(
-            rng, (w, h), holdout_pairs=holdout)
+            rng, (w, h), holdout_pairs=holdout, equal_area=equal_area)
         caps = {"color": [cap_color], "plain": [cap_plain],
                 "both": [cap_color, cap_plain]}[captions]
         buf = io.BytesIO()
@@ -291,7 +334,7 @@ def write_train_corpus(out_dir: str, n_images: int, name: str = "shapes",
 
 
 def _forced_scene(rng: np.random.Generator, size: Tuple[int, int],
-                  kind: str, color_name: str
+                  kind: str, color_name: str, equal_area: bool = False,
                   ) -> Tuple[np.ndarray, np.ndarray]:
     """One scene containing exactly ONE shape of a forced (color, shape)
     pair — the probe unit of the compositional-generalization eval
@@ -304,8 +347,9 @@ def _forced_scene(rng: np.random.Generator, size: Tuple[int, int],
     base = np.array(COLORS[color_name], np.int32)
     jitter = rng.integers(-18, 19, size=3)
     color = tuple(int(c) for c in np.clip(base + jitter, 0, 255))
+    mult = (_equal_area_multipliers()[kind] if equal_area else 1.0)
     r_min, r_max = 0.12 * min(w, h), 0.24 * min(w, h)
-    r = float(rng.uniform(r_min, r_max))
+    r = float(rng.uniform(r_min, r_max)) * mult
     cx = float(rng.uniform(r + 2, w - r - 2))
     cy = float(rng.uniform(r + 2, h - r - 2))
     angle = float(rng.uniform(0, 2 * math.pi))
@@ -316,7 +360,8 @@ def _forced_scene(rng: np.random.Generator, size: Tuple[int, int],
 
 def write_pair_eval_split(out_dir: str, n_per_pair: int = 6,
                           seed: int = 77_000,
-                          min_side: int = 224, max_side: int = 288) -> str:
+                          min_side: int = 224, max_side: int = 288,
+                          equal_area: bool = False) -> str:
     """Compositional-generalization probe set: for EVERY (color, shape)
     pair, `n_per_pair` single-shape scenes of exactly that pair, in VOC
     layout (readable by the unchanged SegEvalDataset / --dataset shapes)
@@ -341,7 +386,8 @@ def write_pair_eval_split(out_dir: str, n_per_pair: int = 6,
             for j in range(n_per_pair):
                 w = int(rng.integers(min_side, max_side + 1))
                 h = int(rng.integers(min_side, max_side + 1))
-                img, mask = _forced_scene(rng, (w, h), kind, color_name)
+                img, mask = _forced_scene(rng, (w, h), kind, color_name,
+                                          equal_area)
                 name = f"p_{color_name}_{kind}_{j:03d}"
                 Image.fromarray(img).save(
                     os.path.join(img_dir, name + ".jpg"), quality=95)
@@ -357,7 +403,8 @@ def write_pair_eval_split(out_dir: str, n_per_pair: int = 6,
 
 
 def write_eval_split(out_dir: str, n_images: int, seed: int = 10_000,
-                     min_side: int = 224, max_side: int = 288) -> str:
+                     min_side: int = 224, max_side: int = 288,
+                     equal_area: bool = False) -> str:
     """VOC-layout eval split readable by the unchanged SegEvalDataset:
     JPEGImages/*.jpg + SegmentationClass/*.png (pixel value = class id) +
     ImageSets/Segmentation/val.txt.  Uses a disjoint seed range from the
@@ -372,7 +419,7 @@ def write_eval_split(out_dir: str, n_images: int, seed: int = 10_000,
     for i in range(n_images):
         w = int(rng.integers(min_side, max_side + 1))
         h = int(rng.integers(min_side, max_side + 1))
-        img, mask, _ = generate_scene(rng, (w, h))
+        img, mask, _ = generate_scene(rng, (w, h), equal_area=equal_area)
         name = f"e{i:05d}"
         Image.fromarray(img).save(os.path.join(img_dir, name + ".jpg"),
                                   quality=95)

@@ -211,3 +211,34 @@ def test_shapes_holdout_excludes_pairs_and_writes_probe_split(tmp_path):
         pair_root / "SegmentationClass" / f"{probe}.png"))
     want_id = 1 + SHAPE_CLASSES.index(pairs[probe]["shape"])
     assert set(np.unique(mask)) == {0, want_id}
+
+
+def test_shapes_equal_area_mode_equalizes_class_pixel_areas():
+    """--equal-area: per-shape circumradius multipliers bring every class's
+    mean instance pixel area within a tight band of the circle's, where the
+    default generator spans >3x (square 4r^2 vs triangle 1.3r^2) — the
+    measured confound behind area-ordered grounding (docs/PERF.md). Same
+    rng draw sequence in both modes (the multiplier scales the sampled
+    radius), so seeds stay comparable across modes."""
+    from segclip_tpu.data.procgen import (SHAPE_CLASSES, _forced_scene,
+                                          _equal_area_multipliers)
+
+    mult = _equal_area_multipliers()
+    assert mult["circle"] == 1.0
+    assert abs(mult["square"] - 0.8862) < 1e-3   # sqrt(pi/4)
+
+    def mean_areas(equal_area):
+        areas = {}
+        for kind in SHAPE_CLASSES:
+            rng = np.random.default_rng(7)       # same stream both modes
+            tot = sum(int((_forced_scene(rng, (224, 224), kind, "red",
+                                         equal_area)[1] > 0).sum())
+                      for _ in range(25))
+            areas[kind] = tot / 25
+        return areas
+
+    base, eq = mean_areas(False), mean_areas(True)
+    assert max(base.values()) / min(base.values()) > 2.5
+    assert max(eq.values()) / min(eq.values()) < 1.35
+    # circle is the fixed point of the equalization
+    assert eq["circle"] == base["circle"]
