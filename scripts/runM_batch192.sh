@@ -8,6 +8,11 @@
 # inside the window with every step on 2x the data of run 8's.
 # epochs_per_run=1: B=192 doubles the per-step transfer leak
 # (~25 MB/step), so segments stay short.
+# model.remat=true is REQUIRED at B=192: without it the step's live
+# activations need ~13.8 GB temp + 2.3 GB args > v5e-1 16 GB HBM and the
+# tunneled worker dies instead of raising (measured via AOT
+# compiled.memory_analysis(); remat cuts temp to 3.87 GB). Numerics are
+# unchanged (pure recompute).
 set -u
 OUT=${1:-/root/runM}
 DATA=${2:-/root/shapes60k_holdout}
@@ -21,7 +26,7 @@ for seg in 1 2 3 4 5 6; do
     --eval-each-epoch --eval-data-root "$DATA/eval" \
     --num-workers 0 --output-dir "$OUT" --do-resume \
     --opts eval.dataset=shapes model.gumbel_tau=3.0 \
-           model.group_balance_weight=1.0 \
+           model.group_balance_weight=1.0 model.remat=true \
            train.keep_best=true \
            train.epochs_per_run=1 train.checkpoint_every=2 \
     || exit $?
