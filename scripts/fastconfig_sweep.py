@@ -56,6 +56,20 @@ def measure(batch: int, moment_dtype: str, attn: str, remat: bool,
         "image_seg": rng.integers(0, 32, size=(batch, 14, 14)
                                   ).astype(np.int32),
     })
+    # AOT memory pre-check: an execute-time HBM OOM over the tunnel KILLS
+    # the axon worker (docs/PERF.md "Memory levers") and would poison every
+    # later row of the sweep — so configs that don't fit are reported from
+    # the compiler's memory analysis and never executed.
+    ma = step.lower(state, data).compile().memory_analysis()
+    gb = 2.0 ** 30
+    temp, args_b, out = (ma.temp_size_in_bytes / gb,
+                         ma.argument_size_in_bytes / gb,
+                         ma.output_size_in_bytes / gb)
+    # args are donated (state updates in place), so peak ≈ args + temp.
+    if temp + args_b > 15.0:
+        return {"ok": False, "error": "would-OOM (skipped, not executed)",
+                "temp_gb": round(temp, 2), "args_gb": round(args_b, 2),
+                "out_gb": round(out, 2)}
     try:
         for _ in range(2):          # compile + steady-sharding recompile
             state, metrics = step(state, data)
@@ -66,7 +80,8 @@ def measure(batch: int, moment_dtype: str, attn: str, remat: bool,
         float(metrics["loss"])      # chained state forces all steps
         dt = (time.perf_counter() - t0) / steps
         return {"ok": True, "ms_per_step": round(dt * 1e3, 1),
-                "img_s": round(batch / dt, 1)}
+                "img_s": round(batch / dt, 1),
+                "temp_gb": round(temp, 2), "args_gb": round(args_b, 2)}
     except Exception as e:          # OOM rows are data, not failures
         return {"ok": False, "error": type(e).__name__,
                 "detail": str(e)[:160]}
