@@ -476,13 +476,17 @@ def main(argv=None):
     p.add_argument("--eval-n", type=int, default=200)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--no-superpixels", action="store_true")
-    p.add_argument("--captions", choices=["color", "plain", "both"],
+    p.add_argument("--captions",
+                   choices=["color", "plain", "both", "mention"],
                    default="both",
                    help="caption style(s) per image; 'both' (default) "
                         "packs two samples/image — color-only has a "
                         "color-statistics shortcut that never grounds "
                         "shape names, plain-only learns slowly from "
-                        "duplicate false-negatives (data/procgen.py)")
+                        "duplicate false-negatives; 'mention' packs "
+                        "[color-full, single-shape mention] to spread "
+                        "contrastive gradient evenly over shape classes "
+                        "(data/procgen.py)")
     p.add_argument("--holdout", nargs="*", default=None, metavar="COLOR:SHAPE",
                    help="exclude color×shape compositions from every "
                         "training image AND caption (open-vocabulary "

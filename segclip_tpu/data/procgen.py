@@ -173,8 +173,10 @@ def _scene_with_captions(
     max_shapes: int = 3,
     holdout_pairs: Optional[frozenset] = None,
     equal_area: bool = False,
-) -> Tuple[np.ndarray, np.ndarray, str, str]:
-    """One composite scene → (image, mask, caption_color, caption_plain).
+) -> Tuple[np.ndarray, np.ndarray, str, str, List[Tuple[str, str]]]:
+    """One composite scene → (image, mask, caption_color, caption_plain,
+    mentions) where mentions = [(color_name, shape_kind), ...] for each
+    placed shape, in draw order (consumed by the "mention" caption mode).
 
     Mask values: 0 background, 1 + SHAPE_CLASSES.index(kind) per shape.
     Both caption styles describe the same scene from the same rng stream:
@@ -198,6 +200,7 @@ def _scene_with_captions(
     placed: List[Tuple[float, float, float]] = []
     parts: List[str] = []
     plain_parts: List[str] = []
+    mentions: List[Tuple[str, str]] = []
     for _ in range(n):
         kind = SHAPE_CLASSES[rng.integers(len(SHAPE_CLASSES))]
         color_name = list(COLORS)[rng.integers(len(COLORS))]
@@ -237,6 +240,7 @@ def _scene_with_captions(
                     1 + SHAPE_CLASSES.index(kind))
         parts.append(f"a {color_name} {kind}")
         plain_parts.append(f"a {kind}")
+        mentions.append((color_name, kind))
 
     if not parts:                         # degenerate: empty scene
         return _scene_with_captions(rng, size, max_shapes, holdout_pairs,
@@ -249,7 +253,8 @@ def _scene_with_captions(
     template = CAPTION_TEMPLATES[rng.integers(len(CAPTION_TEMPLATES))]
     return (np.asarray(img), np.asarray(mask, np.int32),
             template.format(join(parts)),
-            template.format(join(plain_parts)))
+            template.format(join(plain_parts)),
+            mentions)
 
 
 def generate_scene(
@@ -258,7 +263,7 @@ def generate_scene(
     equal_area: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray, str]:
     """One scene → (image, mask, caption); see _scene_with_captions."""
-    img, mask, cap_color, cap_plain = _scene_with_captions(
+    img, mask, cap_color, cap_plain, _ = _scene_with_captions(
         rng, size, max_shapes, equal_area=equal_area)
     return img, mask, cap_color if color_words else cap_plain
 
@@ -273,10 +278,20 @@ def write_train_corpus(out_dir: str, n_images: int, name: str = "shapes",
                        equal_area: bool = False) -> str:
     """Pack a training corpus: <name>_{images,captions,seg}.sgr.
 
-    captions: "color" | "plain" | "both" — caption styles written per
-    image ("both" packs two samples per image, the COCO multi-caption
-    pattern; see _scene_with_captions for why it matters). The image/seg
-    shards are byte-identical across all three modes (same rng stream).
+    captions: "color" | "plain" | "both" | "mention" — caption styles
+    written per image ("both" packs two samples per image, the COCO
+    multi-caption pattern; see _scene_with_captions for why it matters).
+    "mention" is the richer-negative variant: [color-full caption, a
+    caption naming exactly ONE uniformly-chosen shape from the scene —
+    with its color half the time ("a photo of a red circle.") else plain
+    ("a photo of a circle.")]. Rationale (docs/PERF.md, run E): with
+    full-scene captions InfoNCE concentrates gradient on a single
+    sufficient class and the other shape names never ground; a
+    single-shape mention makes the NAMED class's visual feature necessary
+    for that sample, and uniform mention sampling spreads that necessity
+    evenly over classes. Mention draws come from a SEPARATE rng stream,
+    so the image/seg shards are byte-identical across all four modes
+    (same scene rng stream).
 
     holdout_pairs: iterable of (color, shape) pairs to EXCLUDE from every
     training image and caption (the open-vocabulary compositional-
@@ -305,6 +320,10 @@ def write_train_corpus(out_dir: str, n_images: int, name: str = "shapes",
                    "holdout_pairs": sorted(holdout) if holdout else None},
                   f, indent=2)
     rng = np.random.default_rng(seed)
+    # Mention-mode draws come from their own stream so enabling the mode
+    # cannot shift the scene stream (image/seg shards stay byte-identical
+    # across caption modes at a given seed).
+    mrng = np.random.default_rng((seed, 0x6D656E74))  # "ment"
     wi = SgrWriter(os.path.join(out_dir, f"{name}_images.sgr"))
     wc = SgrWriter(os.path.join(out_dir, f"{name}_captions.sgr"))
     ws = SgrWriter(os.path.join(out_dir, f"{name}_seg.sgr")) \
@@ -312,10 +331,17 @@ def write_train_corpus(out_dir: str, n_images: int, name: str = "shapes",
     for i in range(n_images):
         w = int(rng.integers(min_side, max_side + 1))
         h = int(rng.integers(min_side, max_side + 1))
-        img, _, cap_color, cap_plain = _scene_with_captions(
+        img, _, cap_color, cap_plain, mentions = _scene_with_captions(
             rng, (w, h), holdout_pairs=holdout, equal_area=equal_area)
-        caps = {"color": [cap_color], "plain": [cap_plain],
-                "both": [cap_color, cap_plain]}[captions]
+        if captions == "mention":
+            color_name, kind = mentions[mrng.integers(len(mentions))]
+            part = (f"a {color_name} {kind}" if mrng.random() < 0.5
+                    else f"a {kind}")
+            tmpl = CAPTION_TEMPLATES[mrng.integers(len(CAPTION_TEMPLATES))]
+            caps = [cap_color, tmpl.format(part)]
+        else:
+            caps = {"color": [cap_color], "plain": [cap_plain],
+                    "both": [cap_color, cap_plain]}[captions]
         buf = io.BytesIO()
         Image.fromarray(img).save(buf, format="JPEG", quality=quality)
         key = f"s{i:06d}"

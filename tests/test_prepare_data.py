@@ -242,3 +242,52 @@ def test_shapes_equal_area_mode_equalizes_class_pixel_areas():
     assert max(eq.values()) / min(eq.values()) < 1.35
     # circle is the fixed point of the equalization
     assert eq["circle"] == base["circle"]
+
+
+def test_shapes_mention_captions_single_shape_and_stream_invariant(tmp_path):
+    """--captions mention packs [color-full, single-shape mention] per
+    image. The mention names exactly ONE shape that is actually in the
+    scene (with its true color when color-bearing — so the holdout
+    guarantee carries over), and the image shard is byte-identical to the
+    'both' corpus at the same seed (mention draws use a separate rng
+    stream, data/procgen.write_train_corpus)."""
+    import re
+
+    from segclip_tpu.cli import prepare_data
+    from segclip_tpu.data.procgen import COLORS, SHAPE_CLASSES
+
+    a, b = tmp_path / "both", tmp_path / "mention"
+    for out, mode in ((a, "both"), (b, "mention")):
+        prepare_data.main([
+            "shapes", "--out-dir", str(out), "--train-n", "30",
+            "--eval-n", "1", "--no-superpixels", "--holdout",
+            "--pair-eval-n", "1", "--captions", mode])
+
+    ra, rb = SgrReader(str(a / "shapes_images.sgr")), \
+        SgrReader(str(b / "shapes_images.sgr"))
+    assert list(ra.keys()) == list(rb.keys())
+    assert all(ra.get(k) == rb.get(k) for k in ra.keys())
+
+    ca, cb = SgrReader(str(a / "shapes_captions.sgr")), \
+        SgrReader(str(b / "shapes_captions.sgr"))
+    shape_re = re.compile("|".join(SHAPE_CLASSES))
+    saw_color, saw_plain = 0, 0
+    for k in cb.keys():
+        full_color = json.loads(ca.get(k))[0]
+        caps = json.loads(cb.get(k))
+        assert len(caps) == 2
+        assert caps[0] == full_color          # style (a) unchanged
+        names = shape_re.findall(caps[1])
+        assert len(names) == 1                # exactly one shape named
+        (kind,) = names
+        colors_in = [c for c in COLORS if f"{c} {kind}" in caps[1]]
+        if colors_in:
+            saw_color += 1
+            # color-bearing mention: the (color, shape) pair must be one
+            # the scene really contains == appears in the full caption
+            assert f"{colors_in[0]} {kind}" in full_color
+        else:
+            saw_plain += 1
+            assert f" {kind}" in full_color   # shape is in the scene
+    # the 50/50 color/plain mix actually mixes over 30 images
+    assert saw_color >= 5 and saw_plain >= 5
