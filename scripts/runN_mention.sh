@@ -35,7 +35,7 @@ for seg in 1 2; do
     --opts eval.dataset=shapes model.gumbel_tau=3.0 \
            model.group_balance_weight=1.0 \
            train.keep_best=true \
-           train.epochs_per_run=$PER_RUN train.checkpoint_every=$PER_RUN \
+           train.epochs_per_run=$PER_RUN train.checkpoint_every=2 \
     || exit $?
 done
 echo "=== run complete ==="
