@@ -491,7 +491,8 @@ def main(argv=None):
                    help="exclude color×shape compositions from every "
                         "training image AND caption (open-vocabulary "
                         "generalization split). No values = the default "
-                        "trio (procgen.HOLDOUT_PAIRS_DEFAULT); or list "
+                        "one-pair-per-shape set "
+                        "(procgen.HOLDOUT_PAIRS_DEFAULT); or list "
                         "pairs like red:triangle. Also writes the "
                         "pair_eval/ probe split + holdout.json manifest")
     p.add_argument("--pair-eval-n", type=int, default=None,

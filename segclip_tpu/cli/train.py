@@ -12,10 +12,36 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import os
 
 from segclip_tpu.config import (Config, DataConfig, OptimConfig,
                                 TrainConfig, apply_overrides)
 from segclip_tpu.utils.logging import get_logger
+
+# Documented one-command recipes (--preset). Values become parser
+# DEFAULTS, so any flag the user passes explicitly still wins; the
+# preset's `opts` are PREPENDED to --opts, so user overrides win there
+# too (apply_overrides is last-wins).
+PRESETS = {
+    # The from-scratch grounding recipe distilled from the 8-run
+    # schedule/data study (docs/PERF.md "Learning the shapes corpus"):
+    # flat lr 4e-4 head AND backbone, 10% warmup, gumbel_tau 3.0 +
+    # group_balance 1.0 (the from-scratch anti-collapse aids), B=96
+    # both-caption corpus with the cosine ending ≤~5k steps (4 epochs at
+    # 60k scenes), per-epoch eval with keep_best. Reproduces run 8's
+    # 17.0 mIoU (12.0 at init) from a fresh `prepare_data shapes` corpus:
+    #   python -m segclip_tpu.cli.prepare_data shapes \
+    #       --out-dir /data/shapes --train-n 60000 --eval-n 300
+    #   python -m segclip_tpu.cli.train --preset shapes-learnability \
+    #       --data-dir /data/shapes --output-dir /root/run
+    # (--eval-data-root defaults to <data-dir>/eval under this preset.)
+    "shapes-learnability": dict(
+        datatype="shapes", batch_size=96, epochs=4, lr=4e-4,
+        lower_lr=4e-4, warmup_proportion=0.1, use_seglabel=True,
+        use_vision_mae_recon=True, eval_each_epoch=True,
+        opts=["eval.dataset=shapes", "model.gumbel_tau=3.0",
+              "model.group_balance_weight=1.0", "train.keep_best=true"]),
+}
 
 
 def build_config(args) -> Config:
@@ -96,7 +122,24 @@ def main(argv=None):
     ap.add_argument("--dist-process-id", type=int, default=None)
     ap.add_argument("--opts", nargs="*", default=[],
                     help="config overrides, e.g. model.vision_width=256")
+    ap.add_argument("--preset", default=None, choices=sorted(PRESETS),
+                    help="named recipe applied as parser defaults "
+                         "(explicit flags and --opts still win); "
+                         "'shapes-learnability' is the documented "
+                         "from-scratch grounding recipe (docs/PERF.md)")
+
+    # two-pass parse: the preset sets DEFAULTS, so explicit flags override
+    pre, _ = ap.parse_known_args(argv)
+    preset_opts: list = []
+    if pre.preset:
+        preset = dict(PRESETS[pre.preset])
+        preset_opts = list(preset.pop("opts", []))
+        ap.set_defaults(**preset)
     args = ap.parse_args(argv)
+    args.opts = preset_opts + args.opts
+    if (args.preset and args.eval_data_root is None and args.data_dir
+            and args.eval_each_epoch):
+        args.eval_data_root = os.path.join(args.data_dir, "eval")
 
     from segclip_tpu.utils.jax_setup import setup_jax
     setup_jax(coordinator=args.dist_coordinator,

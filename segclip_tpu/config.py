@@ -57,6 +57,18 @@ class ModelConfig:
     # gradients); gradient flows through the straight-through assignment,
     # so pair it with a raised gumbel_tau (e.g. 3-5) for usable magnitude.
     group_balance_weight: float = 0.0
+    # FROM-SCRATCH / structured-corpus aid (default "none" = the reference
+    # objective, modeling.py:204-210): "class" masks TRUTHFUL same-class
+    # entries out of the InfoNCE denominator. Measured need (docs/PERF.md
+    # "Run N"): on the mention-caption corpus a caption naming one class
+    # truthfully describes ~29% of batch images; one-label CE then floods
+    # the objective with false negatives (mean 27.5/row at B=96,
+    # docs/artifacts/mention_stats.json) and grounding is destroyed.
+    # Requires per-sample class metadata from the data pipeline
+    # (text_class: class named by the caption, 0=unstructured;
+    # scene_classes: bitmask of classes present in the image — written by
+    # `prepare_data shapes` into <name>_meta.sgr).
+    infonce_mask: str = "none"
     # Numerics
     compute_dtype: str = "bfloat16"   # matmul/activation dtype under jit
     param_dtype: str = "float32"      # parameter storage dtype
@@ -165,9 +177,9 @@ class DataConfig:
     max_words: int = 32
     data_dir: str = ""
     crop_scale: Tuple[float, float] = (0.5, 1.0)
-    # cv2-based JPEG decode (pixel-identical; faster only on hosts where
-    # libjpeg-turbo-backed cv2 beats PIL — measured slower here)
-    fast_decode: bool = False
+    # (a `fast_decode` cv2-decode knob lived here through round 4 — measured
+    # round 5 at 2.1× SLOWER through the shipped path and a no-op on the
+    # default yuv420 transport, and removed; see pipeline._decode_jpeg)
     # Image transport to the device: "yuv420" (default) decodes, crops and
     # resamples YCbCr-native — the colorspace the JPEG stored, with 4:2:0
     # chroma already subsampled at encode time — ships Y + 2x2-subsampled

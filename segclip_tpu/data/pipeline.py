@@ -53,12 +53,14 @@ from segclip_tpu.data.transforms import (clip_normalize,
                                          random_resized_crop_coord)
 
 
-def _decode_jpeg(data: bytes, use_cv2: bool,
-                 mode: str = "RGB") -> Image.Image:
-    """JPEG decode. cv2 is pixel-identical to PIL for baseline JPEG but
-    measured SLOWER on this single-core host for 224-side images (3.0 vs
-    1.6 ms) — PIL (the reference's decoder) is the default; the cv2 path is
-    kept for hosts where libjpeg-turbo-backed cv2 wins.
+def _decode_jpeg(data: bytes, mode: str = "RGB") -> Image.Image:
+    """JPEG decode via PIL (the reference's decoder). A cv2 alternative
+    (`data.fast_decode`) was measured and REMOVED round 5: pixel-identical
+    on 256/256 baseline JPEGs but 2.1× slower through this path (1.72 vs
+    0.82 ms/img on the photographic-texture bench corpus — the BGR→RGB +
+    PIL-roundtrip the downstream crop ops need eats any libjpeg-turbo win),
+    and a no-op on the default yuv420 transport (docs/PERF.md "Host decode
+    stage").
 
     mode='YCbCr' (yuv420 transport path) asks libjpeg for its NATIVE
     output colorspace via draft() — the decoder skips its YCbCr→RGB
@@ -73,15 +75,6 @@ def _decode_jpeg(data: bytes, use_cv2: bool,
             except ValueError:
                 img = img.convert("RGB").convert("YCbCr")
         return img
-    if use_cv2:
-        try:
-            import cv2
-            arr = cv2.imdecode(np.frombuffer(data, np.uint8),
-                               cv2.IMREAD_COLOR)
-            if arr is not None:
-                return Image.fromarray(arr[:, :, ::-1])   # BGR→RGB
-        except ImportError:
-            pass
     return Image.open(io.BytesIO(data)).convert("RGB")
 
 
@@ -92,12 +85,11 @@ class PairRecordDataset:
                  image_size: int = 224, patch_size: int = 16,
                  use_seg: bool = True,
                  tokenizer: Optional[ClipTokenizer] = None,
-                 fast_decode: bool = False,
                  crop_scale: Tuple[float, float] = (0.5, 1.0),
                  normalize: bool = True,
                  device_aug: bool = False,
-                 transfer: str = "rgb"):
-        self.fast_decode = fast_decode
+                 transfer: str = "rgb",
+                 emit_class_ids: bool = False):
         self.normalize = normalize
         self.device_aug = device_aug
         if transfer not in ("rgb", "yuv420"):
@@ -122,13 +114,39 @@ class PairRecordDataset:
         self.patch_size = patch_size
         self.tokenizer = tokenizer or default_tokenizer()
 
+        # Class-metadata sidecar for model.infonce_mask (written by
+        # procgen.write_train_corpus): per-caption named class + per-image
+        # scene bitmask. Only opened when the loss needs it so corpora
+        # without the shard keep working for the default objective.
+        self.meta = None
+        if emit_class_ids:
+            meta_path = os.path.join(data_dir, f"{name}_meta.sgr")
+            if not os.path.exists(meta_path):
+                raise FileNotFoundError(
+                    f"model.infonce_mask needs {meta_path} — regenerate the "
+                    f"corpus with this framework version (`prepare_data "
+                    f"shapes` writes the class-metadata sidecar)")
+            self.meta = SgrReader(meta_path)
+
         # samples = (image_index, caption_index-within-key)
         self._keys: List[bytes] = []
         self._samples: List[Tuple[int, int]] = []
+        # parallel to _samples when emit_class_ids: per-caption named class;
+        # parallel to _keys: per-image scene bitmask
+        self._text_class: List[int] = []
+        self._scene_classes: List[int] = []
         for i in range(len(self.captions)):
             key, payload = self.captions.record(i)
             n_caps = len(json.loads(payload))
             self._keys.append(key)
+            if self.meta is not None:
+                m = json.loads(self.meta.get(key))
+                if len(m["cls"]) != n_caps:
+                    raise ValueError(
+                        f"meta shard cls count {len(m['cls'])} != caption "
+                        f"count {n_caps} for key {key!r}")
+                self._scene_classes.append(int(m["scene"]))
+                self._text_class.extend(int(c) for c in m["cls"])
             for c in range(n_caps):
                 self._samples.append((i, c))
 
@@ -141,8 +159,7 @@ class PairRecordDataset:
 
         caption = json.loads(self.captions.get(key))[cap_i]
         jpeg = self.images.get(key)
-        img = _decode_jpeg(jpeg, self.fast_decode,
-                           mode="YCbCr" if self.transfer == "yuv420"
+        img = _decode_jpeg(jpeg, mode="YCbCr" if self.transfer == "yuv420"
                            else "RGB")
 
         from segclip_tpu.data.tokenizer import tokenize_with_mask
@@ -177,6 +194,9 @@ class PairRecordDataset:
 
         out["input_ids"] = ids
         out["attention_mask"] = mask
+        if self.meta is not None:
+            out["text_class"] = np.int32(self._text_class[idx])
+            out["scene_classes"] = np.int32(self._scene_classes[img_i])
         if self.seg is not None:
             # superpixel crop + patch int-mean stays on host in BOTH modes:
             # it costs ~0.2 ms/sample, while shipping the full uint16 map
@@ -235,7 +255,7 @@ class SyntheticDataset:
     def __init__(self, length: int = 512, max_words: int = 32,
                  image_size: int = 224, patch_size: int = 16,
                  vocab_size: int = 49408, use_seg: bool = True,
-                 normalize: bool = True):
+                 normalize: bool = True, emit_class_ids: bool = False):
         self.length = length
         self.max_words = max_words
         self.image_size = image_size
@@ -243,6 +263,7 @@ class SyntheticDataset:
         self.vocab = vocab_size
         self.use_seg = use_seg
         self.normalize = normalize
+        self.emit_class_ids = emit_class_ids
 
     def __len__(self):
         return self.length
@@ -272,6 +293,15 @@ class SyntheticDataset:
         if self.use_seg:
             out["image_seg"] = rng.integers(
                 0, 24, size=(self.grid, self.grid)).astype(np.int32)
+        if self.emit_class_ids:
+            # schema-compatible infonce_mask metadata: a 6-class world where
+            # the scene always contains the caption's class when one is named
+            cls = np.int32(rng.integers(0, 7))
+            scene = np.int32(rng.integers(0, 64))
+            if cls > 0:
+                scene |= np.int32(1) << (cls - 1)
+            out["text_class"] = cls
+            out["scene_classes"] = scene
         return out
 
 
@@ -290,7 +320,8 @@ class ConcatDataset:
 
 def build_dataset(cfg: DataConfig, use_seg: bool = True,
                   normalize: bool = True, vocab_size: int = 49408,
-                  image_size: int = 224, patch_size: int = 16):
+                  image_size: int = 224, patch_size: int = 16,
+                  emit_class_ids: bool = False):
     """datatype "synthetic" | comma-joined shard names ("cc,coco,").
 
     Also serves as the picklable per-worker dataset factory
@@ -319,18 +350,19 @@ def build_dataset(cfg: DataConfig, use_seg: bool = True,
                                           vocab_size=vocab_size,
                                           image_size=image_size,
                                           patch_size=patch_size,
-                                          normalize=normalize))
+                                          normalize=normalize,
+                                          emit_class_ids=emit_class_ids))
         else:
             parts.append(PairRecordDataset(name, cfg.data_dir,
                                            max_words=cfg.max_words,
                                            use_seg=use_seg,
                                            image_size=image_size,
                                            patch_size=patch_size,
-                                           fast_decode=cfg.fast_decode,
                                            crop_scale=cfg.crop_scale,
                                            normalize=normalize,
                                            device_aug=cfg.device_aug,
-                                           transfer=transfer))
+                                           transfer=transfer,
+                                           emit_class_ids=emit_class_ids))
     if not parts:
         raise ValueError(f"no datasets in datatype={cfg.datatype!r}")
     return parts[0] if len(parts) == 1 else ConcatDataset(parts)

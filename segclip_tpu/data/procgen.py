@@ -68,8 +68,17 @@ CAPTION_TEMPLATES = (
 # whether grounding TRANSFERS to them — from scratch, held-out *words* are
 # untestable (no pretrained language prior), but held-out *compositions*
 # of seen words are.
+#
+# ONE pair PER shape class (VERDICT r4 #2): the round-4 trio covered only
+# 3 of 6 shapes, so whenever the grounded class fell outside it the
+# compositional probe was structurally vacuous (run E: star grounded,
+# zero held-out star pairs → no signal).  With one held-out pair per
+# shape the probe has signal no matter WHICH class grounds.  The old trio
+# is kept as a subset so the round-4 green-square transfer point (36.0
+# composed IoU, docs/PERF.md) stays directly comparable.
 HOLDOUT_PAIRS_DEFAULT = (("red", "triangle"), ("blue", "heart"),
-                         ("green", "square"))
+                         ("green", "square"), ("yellow", "circle"),
+                         ("purple", "star"), ("orange", "cross"))
 
 
 def _equal_area_multipliers() -> dict:
@@ -276,7 +285,7 @@ def write_train_corpus(out_dir: str, n_images: int, name: str = "shapes",
                        captions: str = "both",
                        holdout_pairs=None,
                        equal_area: bool = False) -> str:
-    """Pack a training corpus: <name>_{images,captions,seg}.sgr.
+    """Pack a training corpus: <name>_{images,captions,seg,meta}.sgr.
 
     captions: "color" | "plain" | "both" | "mention" — caption styles
     written per image ("both" packs two samples per image, the COCO
@@ -328,25 +337,38 @@ def write_train_corpus(out_dir: str, n_images: int, name: str = "shapes",
     wc = SgrWriter(os.path.join(out_dir, f"{name}_captions.sgr"))
     ws = SgrWriter(os.path.join(out_dir, f"{name}_seg.sgr")) \
         if superpixels else None
+    # Class-metadata sidecar consumed by model.infonce_mask (docs/PERF.md
+    # "Run N" diagnosis): per image {"cls": per-caption named class
+    # (0 = unstructured full-scene caption, 1+shape_idx = mention),
+    # "scene": bitmask of shape classes present}. A separate shard keeps
+    # the captions shard format (JSON list[str]) unchanged for existing
+    # corpora and readers.
+    wm = SgrWriter(os.path.join(out_dir, f"{name}_meta.sgr"))
     for i in range(n_images):
         w = int(rng.integers(min_side, max_side + 1))
         h = int(rng.integers(min_side, max_side + 1))
         img, _, cap_color, cap_plain, mentions = _scene_with_captions(
             rng, (w, h), holdout_pairs=holdout, equal_area=equal_area)
+        scene_mask = 0
+        for _, k_ in mentions:
+            scene_mask |= 1 << SHAPE_CLASSES.index(k_)
         if captions == "mention":
             color_name, kind = mentions[mrng.integers(len(mentions))]
             part = (f"a {color_name} {kind}" if mrng.random() < 0.5
                     else f"a {kind}")
             tmpl = CAPTION_TEMPLATES[mrng.integers(len(CAPTION_TEMPLATES))]
             caps = [cap_color, tmpl.format(part)]
+            cls = [0, 1 + SHAPE_CLASSES.index(kind)]
         else:
             caps = {"color": [cap_color], "plain": [cap_plain],
                     "both": [cap_color, cap_plain]}[captions]
+            cls = [0] * len(caps)
         buf = io.BytesIO()
         Image.fromarray(img).save(buf, format="JPEG", quality=quality)
         key = f"s{i:06d}"
         wi.add(key, buf.getvalue())
         wc.add(key, json.dumps(caps).encode())
+        wm.add(key, json.dumps({"cls": cls, "scene": scene_mask}).encode())
         if ws is not None:
             labels = felzenszwalb(img, scale=224.0, sigma=0.9, min_size=224)
             ws.add(key, encode_seg_map(labels))
@@ -354,6 +376,7 @@ def write_train_corpus(out_dir: str, n_images: int, name: str = "shapes",
             logger.info("procgen train corpus: %d/%d", i + 1, n_images)
     wi.close()
     wc.close()
+    wm.close()
     if ws is not None:
         ws.close()
     return out_dir

@@ -28,8 +28,24 @@ from segclip_tpu.parallel.collectives import global_gather, rank_of
 
 def info_nce_pair(text_feat: jax.Array, vis_feat: jax.Array,
                   logit_scale: jax.Array,
-                  axis_name: Optional[str] = None) -> jax.Array:
-    """Symmetric global-batch InfoNCE (modeling.py:204-210, 338-362)."""
+                  axis_name: Optional[str] = None,
+                  text_class: Optional[jax.Array] = None,
+                  scene_classes: Optional[jax.Array] = None) -> jax.Array:
+    """Symmetric global-batch InfoNCE (modeling.py:204-210, 338-362).
+
+    With `text_class`/`scene_classes` (model.infonce_mask="class"; both
+    (B,) int32 — text_class: class the caption names, 0 = unstructured;
+    scene_classes: bitmask of classes present in the image), entries whose
+    caption TRUTHFULLY describes the image are masked out of the softmax
+    denominator (logit → -inf), except the labeled positive. Rationale +
+    measurements: docs/PERF.md "Run N" — on structured corpora a
+    class-naming caption matches ~29% of batch images, and one-label CE
+    (the reference objective) then floods the loss with false negatives
+    (mean 27.5/row at B=96), actively pushing class names away from
+    correct visual features. Masking is class-granular: a color-bearing
+    mention ("a red circle") masks ALL circle images — conservative for
+    cross-color pairs (drops some true negatives), never wrong.
+    """
     t = text_feat / jnp.linalg.norm(text_feat, axis=-1, keepdims=True)
     v = vis_feat / jnp.linalg.norm(vis_feat, axis=-1, keepdims=True)
     scale = jnp.minimum(jnp.exp(logit_scale.astype(jnp.float32)), 100.0)
@@ -42,6 +58,25 @@ def info_nce_pair(text_feat: jax.Array, vis_feat: jax.Array,
 
     local_b = t.shape[0]
     labels = jnp.arange(local_b) + local_b * rank_of(axis_name)
+
+    if text_class is not None:
+        tc = text_class.astype(jnp.int32)                      # (B,)
+        sc = scene_classes.astype(jnp.int32)                   # (B,)
+        tc_all = global_gather(tc, axis_name)                  # (Bg,)
+        sc_all = global_gather(sc, axis_name)                  # (Bg,)
+        cols = jnp.arange(tc_all.shape[0])
+        not_self = cols[None, :] != labels[:, None]            # (B, Bg)
+
+        def truthful(named, scene_bits):
+            # caption naming class c>0 truthfully describes an image whose
+            # scene bitmask has bit c-1 set
+            return (named > 0) & (
+                ((scene_bits >> jnp.maximum(named - 1, 0)) & 1) == 1)
+
+        fn_t2v = truthful(tc[:, None], sc_all[None, :]) & not_self
+        fn_v2t = truthful(tc_all[None, :], sc[:, None]) & not_self
+        logits_t2v = jnp.where(fn_t2v, -1e9, logits_t2v)
+        logits_v2t = jnp.where(fn_v2t, -1e9, logits_v2t)
 
     def ce(logits):
         logp = jax.nn.log_softmax(logits, axis=-1)
@@ -121,7 +156,9 @@ class SegCLIP(nn.Module):
     def __call__(self, input_ids: jax.Array, attention_mask: jax.Array,
                  image: jax.Array, image_seg: Optional[jax.Array] = None,
                  training: bool = True,
-                 axis_name: Optional[str] = None) -> dict:
+                 axis_name: Optional[str] = None,
+                 text_class: Optional[jax.Array] = None,
+                 scene_classes: Optional[jax.Array] = None) -> dict:
         c = self.cfg
         gumbel = self.make_rng("gumbel") if training else None
 
@@ -129,10 +166,21 @@ class SegCLIP(nn.Module):
         vis = self.clip.encode_image(image, training=training,
                                      gumbel_key=gumbel)
 
+        if c.infonce_mask not in ("none", "class"):
+            raise ValueError(f"model.infonce_mask must be none|class, "
+                             f"got {c.infonce_mask!r}")
+        use_mask = c.infonce_mask == "class" and training
+        if use_mask and text_class is None:
+            raise ValueError(
+                "model.infonce_mask='class' needs text_class/scene_classes "
+                "in the batch — corpus missing the <name>_meta.sgr sidecar?")
+
         losses = {}
-        losses["sim_loss"] = info_nce_pair(txt.pooled, vis.pooled,
-                                           self.clip.logit_scale,
-                                           axis_name=axis_name)
+        losses["sim_loss"] = info_nce_pair(
+            txt.pooled, vis.pooled, self.clip.logit_scale,
+            axis_name=axis_name,
+            text_class=text_class if use_mask else None,
+            scene_classes=scene_classes if use_mask else None)
 
         if c.use_seglabel and image_seg is not None:
             losses["seglabel_loss"] = superpixel_kl_loss(vis.mid["hard_attn"],
@@ -195,8 +243,12 @@ def init_segclip(cfg: ModelConfig, seed: int = 0):
     dummy_img = jnp.zeros((1, cfg.image_resolution, cfg.image_resolution, 3),
                           jnp.float32)
     dummy_seg = jnp.zeros((1, cfg.grid_size, cfg.grid_size), jnp.int32)
+    extra = {}
+    if cfg.infonce_mask != "none":
+        extra = {"text_class": jnp.zeros((1,), jnp.int32),
+                 "scene_classes": jnp.zeros((1,), jnp.int32)}
     init_fn = jax.jit(model.init, static_argnames=("training",))
     params = init_fn({"params": p_rng, "gumbel": g_rng, "mae": m_rng},
                      dummy_ids, dummy_mask, dummy_img, dummy_seg,
-                     training=True)["params"]
+                     training=True, **extra)["params"]
     return model, params

@@ -44,11 +44,13 @@ def train(cfg: Config, init_model: Optional[str] = None,
     metrics_writer = MetricWriter(cfg.train.output_dir)
 
     # Pipeline ships uint8 images; the train step normalizes on device.
+    emit_class_ids = cfg.model.infonce_mask != "none"
     dataset = build_dataset(cfg.data, use_seg=cfg.model.use_seglabel,
                             normalize=False,
                             vocab_size=cfg.model.vocab_size,
                             image_size=cfg.model.image_resolution,
-                            patch_size=cfg.model.vision_patch_size)
+                            patch_size=cfg.model.vision_patch_size,
+                            emit_class_ids=emit_class_ids)
     n_hosts = jax.process_count()
     host = jax.process_index()
     sampler = ShardedEpochSampler(len(dataset), cfg.data.batch_size,
@@ -64,7 +66,8 @@ def train(cfg: Config, init_model: Optional[str] = None,
             build_dataset, cfg.data, use_seg=cfg.model.use_seglabel,
             normalize=False, vocab_size=cfg.model.vocab_size,
             image_size=cfg.model.image_resolution,
-            patch_size=cfg.model.vision_patch_size))
+            patch_size=cfg.model.vision_patch_size,
+            emit_class_ids=emit_class_ids))
     steps_per_epoch = sampler.steps
     if steps_per_epoch == 0:
         raise ValueError(

@@ -108,7 +108,9 @@ def _loss_fn(params, model: SegCLIP, batch, rngs, axis_name,
     losses = model.apply({"params": params}, batch["input_ids"],
                          batch["attention_mask"], batch["image"],
                          batch.get("image_seg"), training=True,
-                         axis_name=axis_name, rngs=rngs)
+                         axis_name=axis_name,
+                         text_class=batch.get("text_class"),
+                         scene_classes=batch.get("scene_classes"), rngs=rngs)
     return losses["loss"], losses
 
 

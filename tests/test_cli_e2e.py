@@ -37,6 +37,48 @@ def test_train_cli_end_to_end(tmp_path):
     assert (out / "ckpt_epoch_0").exists()
 
 
+def test_train_cli_preset_shapes_learnability(tmp_path):
+    """`--preset shapes-learnability` (the documented grounding recipe,
+    docs/PERF.md "Learning the shapes corpus") expands to the measured
+    run-8 hyperparameters — flat lr 4e-4, 10% warmup, gumbel_tau 3.0,
+    group_balance 1.0, keep_best, per-epoch eval on <data-dir>/eval —
+    while EXPLICIT flags and --opts still win, and trains end-to-end on
+    a fresh tiny corpus."""
+    import ast
+
+    from segclip_tpu.cli import prepare_data
+    from segclip_tpu.cli.train import main
+
+    data = tmp_path / "shapes"
+    prepare_data.main(["shapes", "--out-dir", str(data), "--train-n", "16",
+                       "--eval-n", "2"])
+    out = tmp_path / "run"
+    main(["--preset", "shapes-learnability", "--data-dir", str(data),
+          "--output-dir", str(out),
+          # explicit flags must override the preset's 96/4
+          "--batch-size", "8", "--epochs", "1",
+          "--opts"] + TINY_OPTS + ["eval.images_per_device=2"])
+
+    cfg_line = next(l for l in (out / "log.txt").read_text().splitlines()
+                    if "config: " in l)
+    cfg = ast.literal_eval(cfg_line.split("config: ", 1)[1])
+    # preset values landed
+    assert cfg["optim"]["lr"] == cfg["optim"]["lower_lr"] == 4e-4
+    assert cfg["optim"]["warmup_proportion"] == 0.1
+    assert cfg["model"]["gumbel_tau"] == 3.0
+    assert cfg["model"]["group_balance_weight"] == 1.0
+    assert cfg["model"]["use_seglabel"] and cfg["model"]["use_vision_mae_recon"]
+    assert cfg["train"]["keep_best"] and cfg["train"]["eval_each_epoch"]
+    assert cfg["eval"]["dataset"] == "shapes"
+    # explicit flags and user --opts won over the preset
+    assert cfg["data"]["batch_size"] == 8 and cfg["train"]["epochs"] == 1
+    assert cfg["eval"]["images_per_device"] == 2
+    # trained + evaluated + kept best through the expanded recipe
+    metrics = [json.loads(l) for l in (out / "metrics.jsonl").open()]
+    assert all(np.isfinite(m["loss"]) for m in metrics if "loss" in m)
+    assert (out / "ckpt_best").exists() and (out / "best.json").exists()
+
+
 def _make_voc(tmp_path):
     root = tmp_path / "voc"
     (root / "JPEGImages").mkdir(parents=True)

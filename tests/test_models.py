@@ -160,6 +160,72 @@ def test_info_nce_identity_alignment():
     np.testing.assert_allclose(float(loss), want, rtol=1e-5)
 
 
+def test_info_nce_class_mask_matches_oracle():
+    """model.infonce_mask='class' semantics (docs/PERF.md 'Run N'): batch
+    entries whose caption truthfully describes the image (named class in
+    the image's scene bitmask) are removed from the softmax denominator,
+    except the labeled positive; rows/columns with text_class=0
+    (unstructured captions) are untouched."""
+    B, E = 6, 8
+    rng = np.random.default_rng(11)
+    t = rng.normal(size=(B, E)).astype(np.float32)
+    v = rng.normal(size=(B, E)).astype(np.float32)
+    ls = np.float32(np.log(10.0))
+    # captions: rows 0,3 name class 1; row 2 names class 2; rest full
+    tc = np.array([1, 0, 2, 1, 0, 0], np.int32)
+    # scenes: images 0,1,3 contain class 1; images 2,5 contain class 2
+    sc = np.array([0b001, 0b001, 0b010, 0b011, 0b100, 0b010], np.int32)
+
+    got = float(info_nce_pair(jnp.asarray(t), jnp.asarray(v), ls,
+                              text_class=jnp.asarray(tc),
+                              scene_classes=jnp.asarray(sc)))
+
+    tn = t / np.linalg.norm(t, axis=-1, keepdims=True)
+    vn = v / np.linalg.norm(v, axis=-1, keepdims=True)
+    lt2v = 10.0 * tn @ vn.T
+    lv2t = 10.0 * vn @ tn.T
+    fn = np.zeros((B, B), bool)
+    for i in range(B):
+        for j in range(B):
+            if i != j and tc[i] > 0 and (sc[j] >> (tc[i] - 1)) & 1:
+                fn[i, j] = True
+    # expected false negatives exist in this construction
+    assert fn.any()
+    lt2v[fn] = -1e9
+    lv2t[fn.T] = -1e9          # v2t: column j masked by caption j's class
+
+    def ce(lg):
+        lp = lg - np.log(np.exp(lg).sum(-1, keepdims=True))
+        return -np.mean(np.diag(lp))
+
+    want = (ce(lt2v) + ce(lv2t)) / 2.0
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    # with no truthful off-diagonal matches, the mask is a no-op
+    sc_clean = np.array([0b001, 0b100, 0b010, 0b100, 0b100, 0b100], np.int32)
+    tc_clean = np.array([1, 0, 2, 0, 0, 0], np.int32)
+    masked = float(info_nce_pair(jnp.asarray(t), jnp.asarray(v), ls,
+                                 text_class=jnp.asarray(tc_clean),
+                                 scene_classes=jnp.asarray(sc_clean)))
+    plain = float(info_nce_pair(jnp.asarray(t), jnp.asarray(v), ls))
+    np.testing.assert_allclose(masked, plain, rtol=1e-6)
+
+
+def test_segclip_infonce_mask_requires_metadata():
+    """infonce_mask='class' without pipeline metadata must fail loudly at
+    trace time, not silently train the unmasked objective."""
+    import dataclasses
+
+    tiny = dataclasses.replace(TINY, infonce_mask="class")
+    model, params = init_segclip(tiny, seed=0)
+    ids, mask, img, seg = _tiny_batch(2)
+    with pytest.raises(ValueError, match="infonce_mask"):
+        model.apply({"params": params}, ids, mask, img, seg,
+                    training=True,
+                    rngs={"gumbel": jax.random.key(0),
+                          "mae": jax.random.key(1)})
+
+
 def test_info_nce_logit_scale_clamped():
     f = RNG.normal(size=(4, 8)).astype(np.float32)
     big = info_nce_pair(jnp.asarray(f), jnp.asarray(f),

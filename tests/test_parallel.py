@@ -60,6 +60,39 @@ def test_infonce_sharded_equals_global():
     np.testing.assert_allclose(got, want, rtol=1e-5)
 
 
+def test_infonce_class_mask_sharded_equals_global():
+    """The false-negative mask (model.infonce_mask='class') must be
+    identical whether the class metadata is local or rides the 8-shard
+    all-gather — masked columns are GLOBAL batch positions."""
+    mesh = make_mesh()
+    B, E = 32, 16
+    t = RNG.normal(size=(B, E)).astype(np.float32)
+    v = RNG.normal(size=(B, E)).astype(np.float32)
+    tc = RNG.integers(0, 7, size=B).astype(np.int32)
+    sc = (RNG.integers(0, 64, size=B)
+          | np.where(tc > 0, 1 << np.maximum(tc - 1, 0), 0)).astype(np.int32)
+    ls = jnp.asarray(np.log(10.0), jnp.float32)
+
+    want = float(info_nce_pair(jnp.asarray(t), jnp.asarray(v), ls,
+                               text_class=jnp.asarray(tc),
+                               scene_classes=jnp.asarray(sc)))
+    # sanity: the mask changes the loss for this construction
+    plain = float(info_nce_pair(jnp.asarray(t), jnp.asarray(v), ls))
+    assert abs(want - plain) > 1e-4
+
+    def shard_fn(t_sh, v_sh, tc_sh, sc_sh):
+        loss = info_nce_pair(t_sh, v_sh, ls, axis_name=DATA_AXIS,
+                             text_class=tc_sh, scene_classes=sc_sh)
+        return jax.lax.pmean(loss, DATA_AXIS)
+
+    fn = jax.jit(shard_map(shard_fn, mesh=mesh,
+                           in_specs=(P(DATA_AXIS),) * 4,
+                           out_specs=P(), check_vma=False))
+    got = float(fn(jnp.asarray(t), jnp.asarray(v), jnp.asarray(tc),
+                   jnp.asarray(sc)))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
 def test_infonce_gradients_flow_through_gather():
     mesh = make_mesh()
     B, E = 16, 8

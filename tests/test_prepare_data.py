@@ -177,10 +177,16 @@ def test_shapes_holdout_excludes_pairs_and_writes_probe_split(tmp_path):
         "--eval-n", "2", "--no-superpixels", "--holdout",
         "--pair-eval-n", "1"])
 
-    # manifest records the default trio
+    # manifest records the default holdout set, which must cover every
+    # shape class exactly once (VERDICT r4 #2: the probe needs signal no
+    # matter which class grounds) with distinct colors
     held = {tuple(p) for p in _json.loads(
         (out / "holdout.json").read_text())["holdout_pairs"]}
     assert held == set(HOLDOUT_PAIRS_DEFAULT)
+    held_shapes = [s for _, s in HOLDOUT_PAIRS_DEFAULT]
+    assert sorted(held_shapes) == sorted(SHAPE_CLASSES)
+    held_colors = [c for c, _ in HOLDOUT_PAIRS_DEFAULT]
+    assert len(set(held_colors)) == len(held_colors)
 
     # no training caption mentions a held-out composition; the color-mode
     # caption names every drawn shape with its color, so caption-level
@@ -211,6 +217,61 @@ def test_shapes_holdout_excludes_pairs_and_writes_probe_split(tmp_path):
         pair_root / "SegmentationClass" / f"{probe}.png"))
     want_id = 1 + SHAPE_CLASSES.index(pairs[probe]["shape"])
     assert set(np.unique(mask)) == {0, want_id}
+
+
+def test_shapes_meta_sidecar_and_pipeline_class_ids(tmp_path):
+    """`prepare_data shapes` writes the <name>_meta.sgr class-metadata
+    sidecar ({"cls": per-caption named class, "scene": shape bitmask}) and
+    PairRecordDataset(emit_class_ids=True) ships it as per-sample
+    text_class/scene_classes — the inputs of model.infonce_mask='class'
+    (docs/PERF.md 'Run N' diagnosis)."""
+    import re
+
+    from segclip_tpu.cli import prepare_data
+    from segclip_tpu.data.pipeline import PairRecordDataset
+    from segclip_tpu.data.procgen import SHAPE_CLASSES
+
+    out = tmp_path / "ment"
+    prepare_data.main([
+        "shapes", "--out-dir", str(out), "--train-n", "20",
+        "--eval-n", "1", "--no-superpixels", "--captions", "mention"])
+
+    rc = SgrReader(str(out / "shapes_captions.sgr"))
+    rm = SgrReader(str(out / "shapes_meta.sgr"))
+    shape_re = re.compile("|".join(SHAPE_CLASSES))
+    for k in rc.keys():
+        caps = json.loads(rc.get(k))
+        meta = json.loads(rm.get(k))
+        assert len(meta["cls"]) == len(caps) == 2
+        assert meta["cls"][0] == 0            # full caption = unstructured
+        # the mention's class id names the shape in the mention caption
+        kind = SHAPE_CLASSES[meta["cls"][1] - 1]
+        assert kind in caps[1]
+        # scene bitmask covers exactly the shapes of the full caption
+        named = set(shape_re.findall(caps[0]))
+        want_mask = sum(1 << SHAPE_CLASSES.index(s) for s in named)
+        assert meta["scene"] == want_mask
+        # the mention's class is always present in its own scene
+        assert (meta["scene"] >> (meta["cls"][1] - 1)) & 1
+
+    ds = PairRecordDataset("shapes", str(out), use_seg=False,
+                           normalize=False, emit_class_ids=True)
+    rng = np.random.default_rng(0)
+    # samples alternate (full, mention) per image in caption order
+    s0 = ds.sample(0, rng)
+    s1 = ds.sample(1, rng)
+    assert s0["text_class"] == 0 and s0["scene_classes"] > 0
+    assert 1 <= s1["text_class"] <= len(SHAPE_CLASSES)
+    assert s0["scene_classes"] == s1["scene_classes"]
+    assert s0["text_class"].dtype == np.int32
+
+    # corpora without the sidecar fail loudly when the mask asks for it
+    import shutil
+    os_removed = out / "shapes_meta.sgr"
+    shutil.move(str(os_removed), str(out / "gone.sgr"))
+    with pytest.raises(FileNotFoundError, match="infonce_mask"):
+        PairRecordDataset("shapes", str(out), use_seg=False,
+                          normalize=False, emit_class_ids=True)
 
 
 def test_shapes_equal_area_mode_equalizes_class_pixel_areas():
