@@ -97,7 +97,16 @@ def main():
                                   seed=args.seed)
 
     kinds = ("mention_plain", "mention_color", "full")
-    stats = {k: {"rows": 0, "fn_total": 0, "rows_ge1": 0} for k in kinds}
+    # masked_*: accounting under model.infonce_mask="class", which drops
+    # every column whose IMAGE contains the caption's NAMED class
+    # (class-granular — a color mention masks same-shape columns of ANY
+    # color).  residual_fn = truthful matches the mask does NOT remove
+    # (for mention rows 0 by construction; full-caption rows are
+    # text_class=0 and keep all theirs); overmask = masked columns that
+    # were TRUE negatives (same shape, wrong color under a color mention).
+    stats = {k: {"rows": 0, "fn_total": 0, "rows_ge1": 0,
+                 "masked_total": 0, "residual_fn_total": 0,
+                 "overmask_total": 0} for k in kinds}
     per_shape = {s: {"rows": 0, "fn_total": 0} for s in SHAPE_CLASSES}
     p_contains = {s: np.mean([any(sh == s for _, sh in sc)
                               for sc in scenes]) for s in SHAPE_CLASSES}
@@ -110,13 +119,25 @@ def main():
                 kind = row_kind(cap_i, pairs)
                 # columns j != own slot whose IMAGE the caption truthfully
                 # describes = false negatives under one-label CE
-                fn = sum(1 for j, img_j in enumerate(imgs)
-                         if j != slot
-                         and truthful_matches(pairs, scenes[img_j]))
+                fn = masked = residual = overmask = 0
+                named = pairs[0][1] if kind.startswith("mention") else None
+                for j, img_j in enumerate(imgs):
+                    if j == slot:
+                        continue
+                    truthful = truthful_matches(pairs, scenes[img_j])
+                    fn += truthful
+                    is_masked = (named is not None and
+                                 any(s == named for _, s in scenes[img_j]))
+                    masked += is_masked
+                    residual += truthful and not is_masked
+                    overmask += is_masked and not truthful
                 st = stats[kind]
                 st["rows"] += 1
                 st["fn_total"] += fn
                 st["rows_ge1"] += fn >= 1
+                st["masked_total"] += masked
+                st["residual_fn_total"] += residual
+                st["overmask_total"] += overmask
                 if kind.startswith("mention"):
                     ps = per_shape[pairs[0][1]]
                     ps["rows"] += 1
@@ -126,7 +147,12 @@ def main():
         r = max(st["rows"], 1)
         return {"rows": st["rows"],
                 "mean_false_negatives": round(st["fn_total"] / r, 2),
-                "frac_rows_with_fn": round(st["rows_ge1"] / r, 4)}
+                "frac_rows_with_fn": round(st["rows_ge1"] / r, 4),
+                "mean_masked_columns": round(st["masked_total"] / r, 2),
+                "mean_residual_fn_under_mask":
+                    round(st["residual_fn_total"] / r, 2),
+                "mean_overmasked_true_negatives":
+                    round(st["overmask_total"] / r, 2)}
 
     report = {
         "data_root": args.data_root,

@@ -73,10 +73,10 @@ def test_yuv420_ycbcr_native_path_parity():
 
     # identical rng streams → identical crop windows
     y_f, cbcr_f, coord_f = random_resized_crop_yuv420(
-        _decode_jpeg(jpeg, False, mode="YCbCr"), 224,
+        _decode_jpeg(jpeg, mode="YCbCr"), 224,
         np.random.default_rng(7))
     arr, coord_o = random_resized_crop_coord(
-        _decode_jpeg(jpeg, False), 224, np.random.default_rng(7))
+        _decode_jpeg(jpeg), 224, np.random.default_rng(7))
     np.testing.assert_array_equal(coord_f, coord_o)
     y_o, cbcr_o = rgb_to_yuv420(arr)
 
@@ -96,7 +96,7 @@ def test_yuv420_ycbcr_native_path_parity():
     gbuf = io.BytesIO()
     Image.fromarray(raw[..., 0]).save(gbuf, "JPEG", quality=90)
     yg, cg, _ = random_resized_crop_yuv420(
-        _decode_jpeg(gbuf.getvalue(), False, mode="YCbCr"), 224,
+        _decode_jpeg(gbuf.getvalue(), mode="YCbCr"), 224,
         np.random.default_rng(7))
     assert yg.shape == (224, 224) and cg.shape == (112, 112, 2)
     assert np.abs(cg.astype(np.int32) - 128).max() <= 1   # no chroma
