@@ -477,7 +477,8 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--no-superpixels", action="store_true")
     p.add_argument("--captions",
-                   choices=["color", "plain", "both", "mention"],
+                   choices=["color", "plain", "both", "mention",
+                            "mention-only"],
                    default="both",
                    help="caption style(s) per image; 'both' (default) "
                         "packs two samples/image — color-only has a "

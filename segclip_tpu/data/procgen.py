@@ -287,7 +287,8 @@ def write_train_corpus(out_dir: str, n_images: int, name: str = "shapes",
                        equal_area: bool = False) -> str:
     """Pack a training corpus: <name>_{images,captions,seg,meta}.sgr.
 
-    captions: "color" | "plain" | "both" | "mention" — caption styles
+    captions: "color" | "plain" | "both" | "mention" | "mention-only" —
+    caption styles
     written per image ("both" packs two samples per image, the COCO
     multi-caption pattern; see _scene_with_captions for why it matters).
     "mention" is the richer-negative variant: [color-full caption, a
@@ -359,6 +360,27 @@ def write_train_corpus(out_dir: str, n_images: int, name: str = "shapes",
             tmpl = CAPTION_TEMPLATES[mrng.integers(len(CAPTION_TEMPLATES))]
             caps = [cap_color, tmpl.format(part)]
             cls = [0, 1 + SHAPE_CLASSES.index(kind)]
+        elif captions == "mention-only":
+            # Two single-shape mentions per scene, DISTINCT shape classes
+            # when the scene has ≥2 (run-Q isolation lever, docs/PERF.md
+            # "Run Q": removes the full-scene rows whose winner-take-all
+            # InfoNCE dynamics persist under the class mask in run P).
+            # Same draw grammar as "mention"; still its own rng stream.
+            kinds = [k_ for _, k_ in mentions]
+            first = int(mrng.integers(len(mentions)))
+            distinct = [j for j in range(len(mentions))
+                        if kinds[j] != kinds[first]]
+            second = (int(distinct[mrng.integers(len(distinct))])
+                      if distinct else int(mrng.integers(len(mentions))))
+            caps, cls = [], []
+            for j in (first, second):
+                color_name, kind = mentions[j]
+                part = (f"a {color_name} {kind}" if mrng.random() < 0.5
+                        else f"a {kind}")
+                tmpl = CAPTION_TEMPLATES[mrng.integers(
+                    len(CAPTION_TEMPLATES))]
+                caps.append(tmpl.format(part))
+                cls.append(1 + SHAPE_CLASSES.index(kind))
         else:
             caps = {"color": [cap_color], "plain": [cap_plain],
                     "both": [cap_color, cap_plain]}[captions]

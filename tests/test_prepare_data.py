@@ -352,3 +352,51 @@ def test_shapes_mention_captions_single_shape_and_stream_invariant(tmp_path):
             assert f" {kind}" in full_color   # shape is in the scene
     # the 50/50 color/plain mix actually mixes over 30 images
     assert saw_color >= 5 and saw_plain >= 5
+
+
+def test_shapes_mention_only_two_distinct_mentions(tmp_path):
+    """--captions mention-only packs TWO single-shape mentions per image
+    (no full-scene caption): distinct shape classes whenever the scene
+    has >=2, every mention truthful (named shape in the scene), meta cls
+    nonzero for both samples, and the image shard stays byte-identical to
+    the 'both' corpus at the same seed (separate mention rng stream)."""
+    import re
+
+    from segclip_tpu.cli import prepare_data
+    from segclip_tpu.data.procgen import SHAPE_CLASSES
+
+    a, b = tmp_path / "both", tmp_path / "monly"
+    for out, mode in ((a, "both"), (b, "mention-only")):
+        prepare_data.main([
+            "shapes", "--out-dir", str(out), "--train-n", "30",
+            "--eval-n", "1", "--no-superpixels", "--captions", mode])
+
+    ra = SgrReader(str(a / "shapes_images.sgr"))
+    rb = SgrReader(str(b / "shapes_images.sgr"))
+    assert list(ra.keys()) == list(rb.keys())
+    assert all(ra.get(k) == rb.get(k) for k in ra.keys())
+
+    ca = SgrReader(str(a / "shapes_captions.sgr"))
+    cb = SgrReader(str(b / "shapes_captions.sgr"))
+    rm = SgrReader(str(b / "shapes_meta.sgr"))
+    shape_re = re.compile("|".join(SHAPE_CLASSES))
+    n_multi = n_distinct = 0
+    for k in cb.keys():
+        full_color = json.loads(ca.get(k))[0]   # names every placed shape
+        caps = json.loads(cb.get(k))
+        meta = json.loads(rm.get(k))
+        assert len(caps) == len(meta["cls"]) == 2
+        scene_kinds = set(shape_re.findall(full_color))
+        named = []
+        for cap, cls in zip(caps, meta["cls"]):
+            names = shape_re.findall(cap)
+            assert len(names) == 1             # single-shape mention
+            assert names[0] in scene_kinds     # truthful
+            assert cls == 1 + SHAPE_CLASSES.index(names[0])
+            assert (meta["scene"] >> (cls - 1)) & 1
+            named.append(names[0])
+        if len(scene_kinds) >= 2:
+            n_multi += 1
+            n_distinct += named[0] != named[1]
+    # distinct-shape pairing holds on every multi-shape scene
+    assert n_multi >= 5 and n_distinct == n_multi
